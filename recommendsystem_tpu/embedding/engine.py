@@ -1,0 +1,225 @@
+"""EmbeddingFeatures: the core sparse-embedding engine.
+
+TPU-native replacement for ``tn.layers.EmbeddingFeatures(embedding_columns,
+sparse_opt)(inputs)`` (``rank/ctr/base_model.py:216``, ``staytime/
+VideoDnn.py:237``): lookup feasigns in (row-sharded) tables, combine, return
+dense per-column tensors; sequence columns return an ``(emb_3d, mask)`` tuple
+(``staytime/VideoDnn.py:235-236``).  On the backward pass the per-row sparse
+optimizer attached HERE (not to the Keras training loop) applies lazy updates
+to touched rows only — the PS push/pull contract, re-expressed as pure
+functions over a table pytree.
+
+Distribution: one ``jax.sharding.Mesh``; tables are row-sharded over
+``DATA_AXIS`` and lookup runs inside ``shard_map`` as bucketize-by-owner ->
+``all_to_all`` (ICI) -> local gather -> ``all_to_all`` back (SURVEY §5
+"Distributed communication backend").  ``mode='local'`` (single device or
+replicated tables) uses a plain gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS
+from .feature_column import EmbeddingColumn
+from .optimizers import SparseAdaGrad, SparseAdam
+
+
+@dataclasses.dataclass
+class IdBatch:
+    """Padded, host-hashed ids of one feature: rows (B, L) int32 in
+    [0, bucket); mask (B, L) {0,1}."""
+
+    rows: Any
+    mask: Any
+
+    @property
+    def shape(self):
+        return self.rows.shape
+
+
+def pad_bucket(bucket_size: int, n_shards: int) -> int:
+    return ((bucket_size + n_shards - 1) // n_shards) * n_shards
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def all_to_all_lookup(w_local: jnp.ndarray, flat_rows: jnp.ndarray,
+                      axis_name: str) -> jnp.ndarray:
+    """Inside-shard_map distributed gather.
+
+    ``w_local``: (rows_per_shard, D) — this device's contiguous row shard.
+    ``flat_rows``: (E,) int32 global row ids needed by this device.
+    Returns (E, D) embeddings.
+    """
+    n = jax.lax.axis_size(axis_name)
+    e = flat_rows.shape[0]
+    rows_per_shard = w_local.shape[0]
+
+    owner = flat_rows // rows_per_shard                    # (E,)
+    local_row = flat_rows % rows_per_shard
+    onehot = jax.nn.one_hot(owner, n, axis=0, dtype=jnp.int32)   # (n, E)
+    rank = jnp.cumsum(onehot, axis=1) - 1                  # (n, E) rank within owner bucket
+    rank_of_i = jnp.take_along_axis(rank, owner[None, :], axis=0)[0]  # (E,)
+
+    send_rows = jnp.zeros((n * e,), jnp.int32).at[owner * e + rank_of_i].set(local_row)
+    send_rows = send_rows.reshape(n, e)
+    recv_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
+                                   concat_axis=0, tiled=False)
+    # recv_rows[j]: rows of MY shard requested by device j
+    vals = jnp.take(w_local, recv_rows.reshape(-1), axis=0)          # (n*E, D)
+    vals = vals.reshape(n, e, -1)
+    vals_back = jax.lax.all_to_all(vals, axis_name, split_axis=0,
+                                   concat_axis=0, tiled=False)       # (n, E, D)
+    flat = vals_back.reshape(n * e, -1)
+    return jnp.take(flat, owner * e + rank_of_i, axis=0)             # (E, D)
+
+
+def _combine(emb: jnp.ndarray, mask: jnp.ndarray, combiner: str) -> jnp.ndarray:
+    """(B, L, D) + (B, L) -> (B, D).  'mean' divides by the live count and
+    returns zeros for empty rows (TF embedding_column semantics)."""
+    m = mask.astype(emb.dtype)
+    summed = jnp.einsum("bld,bl->bd", emb, m, preferred_element_type=jnp.float32)
+    if combiner == "sum":
+        return summed
+    count = jnp.sum(m, axis=1, keepdims=True)
+    if combiner == "sqrtn":
+        return summed / jnp.sqrt(jnp.maximum(count, 1.0))
+    return summed / jnp.maximum(count, 1.0)
+
+
+class EmbeddingFeatures:
+    """A collection of embedding columns backed by per-slot tables."""
+
+    def __init__(self, embedding_columns: List[EmbeddingColumn], sparse_opt,
+                 name: str = "sparse_emb_input", num_shards: int = 1):
+        self.name = name
+        self.sparse_opt = sparse_opt
+        self.num_shards = num_shards
+        self.columns: Dict[str, EmbeddingColumn] = {}
+        self.tables: Dict[str, Tuple[int, int]] = {}   # table_key -> (rows, dim)
+        for col in embedding_columns:
+            key = col.key
+            if key in self.columns:
+                raise ValueError(f"duplicate embedding column {key}")
+            self.columns[key] = col
+            tkey = col.categorical_column.key
+            rows = pad_bucket(col.categorical_column.bucket_size, num_shards)
+            if tkey in self.tables:
+                prev_rows, prev_dim = self.tables[tkey]
+                if prev_dim != col.dimension:
+                    raise ValueError(f"table {tkey}: inconsistent dims")
+                self.tables[tkey] = (max(prev_rows, rows), col.dimension)
+            else:
+                self.tables[tkey] = (rows, col.dimension)
+
+    # ---------------- state ----------------
+
+    def init(self, rng) -> Dict[str, Dict[str, Any]]:
+        state = {}
+        for tkey, (rows, dim) in sorted(self.tables.items()):
+            rng, sub = jax.random.split(rng)
+            state[tkey] = {
+                "w": self.sparse_opt.table_init(sub, (rows, dim)),
+                "opt": self.sparse_opt.init_state((rows, dim)),
+                "show": jnp.zeros((rows, 1), jnp.float32),
+            }
+        return state
+
+    def shardings(self, mesh: Mesh) -> Dict[str, Dict[str, Any]]:
+        """NamedShardings: table rows + per-row states over DATA_AXIS."""
+        row = NamedSharding(mesh, P(DATA_AXIS, None))
+        out = {}
+        for tkey, (rows, dim) in self.tables.items():
+            opt = jax.tree.map(lambda _: row, self.sparse_opt.init_state((1, 1)))
+            out[tkey] = {"w": row, "opt": opt, "show": row}
+        return out
+
+    # ---------------- lookup ----------------
+
+    def lookup(self, weights: Dict[str, jnp.ndarray], batch: Dict[str, IdBatch],
+               mode: str = "local", axis_name: str = DATA_AXIS
+               ) -> Dict[str, Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]]:
+        """``weights``: {table_key: (rows, D)}.  ``batch``: {column_key: IdBatch}.
+
+        Differentiable w.r.t. ``weights``.  With ``mode='sharded'`` this must
+        run inside shard_map over ``axis_name`` with row-sharded weights.
+        """
+        out = {}
+        for key, col in self.columns.items():
+            if key not in batch:
+                continue
+            ids = batch[key]
+            tkey = col.categorical_column.key
+            w = weights[tkey]
+            b, l = ids.rows.shape
+            if mode == "sharded":
+                emb = all_to_all_lookup(w, ids.rows.reshape(-1), axis_name)
+                emb = emb.reshape(b, l, -1)
+            else:
+                emb = jnp.take(w, ids.rows, axis=0)        # (B, L, D)
+            if col.is_sequence:
+                emb = emb * ids.mask.astype(emb.dtype)[..., None]
+                out[key] = (emb, ids.mask.astype(bool))
+            else:
+                out[key] = _combine(emb, ids.mask, col.combiner)
+        return out
+
+    # ---------------- sparse update ----------------
+
+    def row_counts(self, batch: Dict[str, IdBatch]) -> Dict[str, jnp.ndarray]:
+        """Per-table appearance counts (rows, 1) — the 'show' statistic that
+        drives lazy updates and feature_drop_show-style eviction."""
+        counts = {tkey: jnp.zeros((rows,), jnp.float32)
+                  for tkey, (rows, _) in self.tables.items()}
+        for key, col in self.columns.items():
+            if key not in batch:
+                continue
+            tkey = col.categorical_column.key
+            ids = batch[key]
+            counts[tkey] = counts[tkey].at[ids.rows.reshape(-1)].add(
+                ids.mask.reshape(-1).astype(jnp.float32))
+        return {k: v[:, None] for k, v in counts.items()}
+
+    def apply_gradients(self, state: Dict[str, Dict[str, Any]],
+                        grads: Dict[str, jnp.ndarray],
+                        counts: Dict[str, jnp.ndarray]) -> Dict[str, Dict[str, Any]]:
+        new_state = {}
+        for tkey, tstate in state.items():
+            g = grads.get(tkey)
+            if g is None:
+                new_state[tkey] = tstate
+                continue
+            row_mask = (counts[tkey] > 0).astype(jnp.float32)
+            w, opt = self.sparse_opt.update(tstate["w"], g, tstate["opt"], row_mask)
+            new_state[tkey] = {"w": w, "opt": opt,
+                               "show": tstate["show"] + counts[tkey]}
+        return new_state
+
+    def evict(self, state, min_show: float):
+        """feature_drop_show analog: re-zero rows seen fewer than min_show
+        times (offline maintenance hook; -1 disables, matching
+        ``rank/multi_head/multidnn.py:230-234``)."""
+        if min_show < 0:
+            return state
+        out = {}
+        for tkey, tstate in state.items():
+            keep = (tstate["show"] >= min_show).astype(jnp.float32)
+            out[tkey] = {
+                "w": tstate["w"] * keep,
+                "opt": jax.tree.map(lambda x: x * keep if x.ndim == 2 else x,
+                                    tstate["opt"]),
+                "show": tstate["show"] * keep[:, :1] if keep.ndim == 2 else tstate["show"],
+            }
+        return out
+
+    def weights(self, state):
+        return {tkey: t["w"] for tkey, t in state.items()}

@@ -1,0 +1,167 @@
+"""Embedding engine tests: hashing, combiners, lazy sparse updates, and the
+sharded all-to-all lookup vs the local path (numerics + gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from recommendsystem_tpu.embedding import (
+    EmbeddingFeatures,
+    IdBatch,
+    SparseAdaGrad,
+    SparseAdam,
+    all_to_all_lookup,
+    category_column,
+    embedding_column,
+)
+
+
+def make_engine(bucket=64, dim=8, seq=False, opt=None, num_shards=1):
+    cat = category_column("f1", bucket)
+    cols = [embedding_column(cat, dim, combiner="mean")]
+    if seq:
+        cols.append(embedding_column(cat, dim, combiner=None, seq_max_len=6,
+                                     name="seq_f1"))
+    eng = EmbeddingFeatures(cols, opt or SparseAdam(learning_rate=0.01),
+                            num_shards=num_shards)
+    return eng
+
+
+class TestCategoryColumn:
+    def test_hash_range_and_determinism(self):
+        cat = category_column("x", 1000)
+        ids = np.array([0, 1, 2**62, -5, 123456789], dtype=np.int64)
+        h1, h2 = cat.hash_ids(ids), cat.hash_ids(ids)
+        np.testing.assert_array_equal(h1, h2)
+        assert h1.dtype == np.int32
+        assert ((h1 >= 0) & (h1 < 1000)).all()
+        # different inputs should (overwhelmingly) hash differently
+        assert len(set(h1.tolist())) == len(ids)
+
+
+class TestLookup:
+    def test_mean_combiner_matches_numpy(self):
+        eng = make_engine()
+        state = eng.init(jax.random.PRNGKey(0))
+        rows = jnp.array([[1, 2, 3, 0], [5, 5, 0, 0]], jnp.int32)
+        mask = jnp.array([[1, 1, 1, 0], [1, 1, 0, 0]], jnp.float32)
+        out = eng.lookup(eng.weights(state), {"f1": IdBatch(rows, mask)})
+        w = np.asarray(state["f1"]["w"])
+        expect0 = (w[1] + w[2] + w[3]) / 3
+        expect1 = (w[5] + w[5]) / 2
+        np.testing.assert_allclose(np.asarray(out["f1"][0]), expect0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["f1"][1]), expect1, rtol=1e-6)
+
+    def test_empty_row_gives_zeros(self):
+        eng = make_engine()
+        state = eng.init(jax.random.PRNGKey(0))
+        rows = jnp.zeros((1, 4), jnp.int32)
+        mask = jnp.zeros((1, 4), jnp.float32)
+        out = eng.lookup(eng.weights(state), {"f1": IdBatch(rows, mask)})
+        np.testing.assert_allclose(np.asarray(out["f1"]), 0.0)
+
+    def test_sequence_column_returns_emb_and_mask(self):
+        eng = make_engine(seq=True)
+        state = eng.init(jax.random.PRNGKey(0))
+        rows = jnp.array([[4, 7, 0, 0, 0, 0]], jnp.int32)
+        mask = jnp.array([[1, 1, 0, 0, 0, 0]], jnp.float32)
+        batch = {"f1": IdBatch(rows, mask), "seq_f1": IdBatch(rows, mask)}
+        out = eng.lookup(eng.weights(state), batch)
+        emb3d, m = out["seq_f1"]
+        assert emb3d.shape == (1, 6, 8) and m.dtype == bool
+        w = np.asarray(state["f1"]["w"])
+        np.testing.assert_allclose(np.asarray(emb3d[0, 0]), w[4], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb3d[0, 2]), 0.0)  # masked zeroed
+
+
+class TestSparseOptimizers:
+    def _one_step(self, opt):
+        eng = make_engine(opt=opt)
+        state = eng.init(jax.random.PRNGKey(0))
+        rows = jnp.array([[3, 9]], jnp.int32)
+        mask = jnp.ones((1, 2), jnp.float32)
+        batch = {"f1": IdBatch(rows, mask)}
+
+        def loss(weights):
+            out = eng.lookup(weights, batch)
+            return jnp.sum(out["f1"] ** 2)
+
+        grads = jax.grad(loss)(eng.weights(state))
+        counts = eng.row_counts(batch)
+        new = eng.apply_gradients(state, grads, counts)
+        return state, new
+
+    @pytest.mark.parametrize("opt", [SparseAdam(learning_rate=0.01),
+                                     SparseAdaGrad(learning_rate=0.01)])
+    def test_lazy_rows(self, opt):
+        state, new = self._one_step(opt)
+        w0, w1 = np.asarray(state["f1"]["w"]), np.asarray(new["f1"]["w"])
+        changed = np.abs(w1 - w0).sum(axis=1) > 0
+        assert changed[3] and changed[9]
+        assert changed.sum() == 2          # every other row untouched
+        assert float(new["f1"]["show"][3, 0]) == 1.0
+        assert float(new["f1"]["show"][0, 0]) == 0.0
+
+    def test_adam_per_row_step_counter(self):
+        state, new = self._one_step(SparseAdam(learning_rate=0.01))
+        t = np.asarray(new["f1"]["opt"]["t"])
+        assert t[3, 0] == 1.0 and t[0, 0] == 0.0
+
+    def test_evict(self):
+        eng = make_engine(opt=SparseAdaGrad())
+        state = eng.init(jax.random.PRNGKey(0))
+        state["f1"]["show"] = state["f1"]["show"].at[5].set(10.0)
+        out = eng.evict(state, min_show=1.0)
+        w = np.asarray(out["f1"]["w"])
+        assert np.abs(w[5]).sum() > 0
+        assert np.abs(w[6]).sum() == 0.0
+
+
+class TestShardedLookup:
+    def test_matches_local_forward_and_grad(self, mesh8):
+        from jax.sharding import NamedSharding
+        n = 8
+        rows_total, dim, e = 64, 8, 16
+        key = jax.random.PRNGKey(0)
+        w = jax.random.normal(key, (rows_total, dim))
+        flat_rows = jax.random.randint(jax.random.PRNGKey(1), (n * e,), 0, rows_total)
+
+        local = jnp.take(w, flat_rows, axis=0)
+
+        shard_fn = jax.shard_map(
+            lambda wl, r: all_to_all_lookup(wl, r, "data"),
+            mesh=mesh8, in_specs=(P("data", None), P("data")),
+            out_specs=P("data"), check_vma=False)
+        sharded = shard_fn(w, flat_rows)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                                   rtol=1e-6)
+
+        # gradient parity
+        tgt = jax.random.normal(jax.random.PRNGKey(2), (n * e, dim))
+        g_local = jax.grad(lambda w_: jnp.sum((jnp.take(w_, flat_rows, 0) - tgt) ** 2))(w)
+        g_shard = jax.grad(lambda w_: jnp.sum((shard_fn(w_, flat_rows) - tgt) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_local),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_engine_sharded_mode(self, mesh8):
+        eng = make_engine(bucket=64, num_shards=8)
+        state = eng.init(jax.random.PRNGKey(0))
+        b, l = 8, 4
+        rows = jax.random.randint(jax.random.PRNGKey(1), (b, l), 0, 64)
+        mask = jnp.ones((b, l), jnp.float32)
+        batch = {"f1": IdBatch(rows, mask)}
+
+        local_out = eng.lookup(eng.weights(state), batch)["f1"]
+
+        def inner(w, r, m):
+            out = eng.lookup({"f1": w}, {"f1": IdBatch(r, m)}, mode="sharded")
+            return out["f1"]
+
+        fn = jax.shard_map(inner, mesh=mesh8,
+                           in_specs=(P("data", None), P("data"), P("data")),
+                           out_specs=P("data"), check_vma=False)
+        sharded_out = fn(state["f1"]["w"], rows, mask)
+        np.testing.assert_allclose(np.asarray(sharded_out), np.asarray(local_out),
+                                   rtol=1e-5, atol=1e-6)
