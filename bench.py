@@ -1,0 +1,157 @@
+"""Benchmark harness: AutoInt CTR train throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+
+``vs_baseline`` compares against the TF-CPU baseline defined in BASELINE.md
+("examples/s/chip >= 10x a TF-CPU run of the same graph").  The TF-CPU
+number is measured once on this machine (same model graph: hashed embedding
+lookup + mean combine + interacting layer + MLP, Adam) and cached in
+``.bench_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+BATCH = 4096
+FIELDS = 24
+EMB_DIM = 8
+IDS_PER_FEATURE = 5
+BUCKET = 265000
+STEPS = 30
+WARMUP = 5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_jax() -> float:
+    import jax
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.train import create_train_state
+    from recommendsystem_tpu.train.step import make_train_step
+
+    log(f"jax devices: {jax.devices()}")
+    bundle = create_model("autoint", bucket_size=BUCKET)
+    batch, dense, labels, weight = synthetic_batch(bundle, BATCH, seed=0,
+                                                   ids_per_feature=IDS_PER_FEATURE)
+    batch = jax.device_put(batch)
+    labels = jax.device_put(labels)
+    weight = jax.device_put(weight)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+    step = make_train_step(bundle)
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        state, info = step(state, batch, labels, weight, None, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, info = step(state, batch, labels, weight, None, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    rate = BATCH * STEPS / dt
+    log(f"jax: {STEPS} steps of {BATCH} in {dt:.3f}s -> {rate:,.0f} examples/s")
+    return rate
+
+
+def bench_tf_cpu() -> float:
+    """TF-CPU baseline: equivalent AutoInt train step (embedding gather+mean,
+    1-layer 2-head interacting layer, MLP (32,16), sigmoid head, Adam)."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    import numpy as np
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+
+    f, d, l, b = FIELDS, EMB_DIM, IDS_PER_FEATURE, 512   # CPU-sized batch
+    tables = [tf.Variable(tf.random.normal((BUCKET, d), stddev=0.1))
+              for _ in range(f)]
+    qkvr = [tf.Variable(tf.random.normal((d, 8), stddev=0.3)) for _ in range(4)]
+    w1 = tf.Variable(tf.random.normal((f * 8 + f * 8, 32), stddev=0.1))
+    w2 = tf.Variable(tf.random.normal((32, 16), stddev=0.1))
+    w3 = tf.Variable(tf.random.normal((16 + 0, 1), stddev=0.1))
+    opt = tf.keras.optimizers.Adam(5e-5)
+    var_list = tables + qkvr + [w1, w2, w3]
+
+    ids = tf.constant(np.random.randint(0, BUCKET, size=(f, b, l)), tf.int32)
+    mask = tf.constant((np.random.rand(f, b, l) > 0.3).astype(np.float32))
+    y = tf.constant((np.random.rand(b, 1) > 0.5).astype(np.float32))
+
+    @tf.function
+    def train_step():
+        with tf.GradientTape() as tape:
+            fields = []
+            for i in range(f):
+                emb = tf.gather(tables[i], ids[i])               # (b, l, d)
+                m = mask[i][:, :, None]
+                fields.append(tf.reduce_sum(emb * m, 1)
+                              / tf.maximum(tf.reduce_sum(m, 1), 1.0))
+            x = tf.stack(fields, axis=1)                          # (b, f, d)
+            q, k, v, r = (tf.einsum("bfd,de->bfe", x, w) for w in qkvr)
+            h = 2
+            qh = tf.concat(tf.split(q, h, axis=2), axis=0)
+            kh = tf.concat(tf.split(k, h, axis=2), axis=0)
+            vh = tf.concat(tf.split(v, h, axis=2), axis=0)
+            att = tf.nn.softmax(tf.matmul(qh, kh, transpose_b=True) / 2.0)
+            o = tf.concat(tf.split(tf.matmul(att, vh), h, axis=0), axis=2) + r
+            o = tf.nn.relu(o)
+            flat = tf.concat([tf.reshape(o, (b, -1)), tf.reshape(x, (b, -1))], 1)
+            hdn = tf.nn.relu(tf.matmul(flat, w1))
+            hdn = tf.nn.relu(tf.matmul(hdn, w2))
+            p = tf.sigmoid(tf.matmul(hdn, w3))
+            loss = -tf.reduce_mean(y * tf.math.log(p + 1e-6)
+                                   + (1 - y) * tf.math.log(1 - p + 1e-6))
+        grads = tape.gradient(loss, var_list)
+        opt.apply_gradients(zip(grads, var_list))
+        return loss
+
+    train_step()   # trace + warmup
+    train_step()
+    steps = 10
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step()
+    dt = time.perf_counter() - t0
+    rate = b * steps / dt
+    log(f"tf-cpu: {steps} steps of {b} in {dt:.3f}s -> {rate:,.0f} examples/s")
+    return rate
+
+
+def get_tf_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            return json.load(fh)["tf_cpu_examples_per_sec"]
+    try:
+        rate = bench_tf_cpu()
+        with open(BASELINE_CACHE, "w") as fh:
+            json.dump({"tf_cpu_examples_per_sec": rate}, fh)
+        return rate
+    except Exception as e:   # TF missing/broken: report vs target floor
+        log(f"tf-cpu baseline unavailable ({e!r})")
+        return -1.0
+
+
+def main():
+    rate = bench_jax()
+    tf_rate = get_tf_baseline()
+    vs = rate / tf_rate if tf_rate > 0 else 0.0
+    print(json.dumps({
+        "metric": "autoint_ctr_train_examples_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,10 +31,12 @@ from .feature_column import EmbeddingColumn
 from .optimizers import SparseAdaGrad, SparseAdam
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class IdBatch:
     """Padded, host-hashed ids of one feature: rows (B, L) int32 in
-    [0, bucket); mask (B, L) {0,1}."""
+    [0, bucket); mask (B, L) {0,1}.  Registered as a pytree so batches flow
+    through jit/shard_map boundaries."""
 
     rows: Any
     mask: Any
@@ -172,6 +174,22 @@ class EmbeddingFeatures:
             else:
                 out[key] = _combine(emb, ids.mask, col.combiner)
         return out
+
+    def lookup_sharded(self, weights: Dict[str, jnp.ndarray],
+                       batch: Dict[str, IdBatch], mesh: Mesh,
+                       axis_name: str = DATA_AXIS):
+        """shard_map wrapper: tables row-sharded, batch data-sharded, outputs
+        data-sharded.  Composes under an outer jit (the train step)."""
+        w_specs = jax.tree.map(lambda _: P(axis_name, None), weights)
+        b_specs = jax.tree.map(lambda _: P(axis_name), batch)
+        out_shape = jax.eval_shape(lambda w, b: self.lookup(w, b, mode="local"),
+                                   weights, batch)
+        out_specs = jax.tree.map(lambda _: P(axis_name), out_shape)
+        fn = jax.shard_map(
+            lambda w, b: self.lookup(w, b, mode="sharded", axis_name=axis_name),
+            mesh=mesh, in_specs=(w_specs, b_specs), out_specs=out_specs,
+            check_vma=False)
+        return fn(weights, batch)
 
     # ---------------- sparse update ----------------
 

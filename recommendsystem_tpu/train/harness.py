@@ -1,0 +1,115 @@
+"""Training harness: the missing platform driver the reference's contracts
+imply (SURVEY §2.9 — dataset -> model factory -> compile -> fit/predict ->
+checkpoint -> dump_predict)."""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import ModelBundle
+from . import metrics as M
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .state import TrainState, create_train_state
+from .step import make_eval_step, make_predict_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
+        state: Optional[TrainState] = None, rng=None, mesh=None,
+        mode: str = "local", log_every: int = 100,
+        checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
+        callbacks=()) -> TrainState:
+    """``dataset`` yields (batch, dense_inputs, labels, sample_weight)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    train_step = make_train_step(bundle, mesh=mesh, mode=mode)
+
+    it = iter(dataset)
+    first = None
+    if state is None:
+        first = next(it)
+        batch, dense_inputs, labels, weight = first
+        rng, init_rng = jax.random.split(rng)
+        state = create_train_state(bundle, init_rng, batch, dense_inputs)
+
+    t0 = time.time()
+    seen = 0
+    i = 0
+    while steps is None or i < steps:
+        if first is not None:
+            item = first
+            first = None
+        else:
+            try:
+                item = next(it)
+            except StopIteration:
+                break
+        batch, dense_inputs, labels, weight = item
+        rng, step_rng = jax.random.split(rng)
+        state, info = train_step(state, batch, labels, weight, dense_inputs,
+                                 step_rng)
+        seen += next(iter(jax.tree.leaves(batch))).shape[0]
+        i += 1
+        if log_every and i % log_every == 0:
+            info = jax.device_get(info)
+            rate = seen / (time.time() - t0)
+            log.info("step %d loss=%.5f examples/s=%.1f", i, info["loss"], rate)
+        if checkpoint_dir and checkpoint_every and i % checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state)
+        for cb in callbacks:
+            cb(i, state, info)
+    return state
+
+
+def evaluate(bundle: ModelBundle, dataset: Iterable, state: TrainState,
+             mode: str = "local") -> Dict[str, Dict[str, float]]:
+    eval_step = make_eval_step(bundle, mode=mode)
+    metric_states = M.init_metrics(bundle.metrics)
+    for batch, dense_inputs, labels, weight in dataset:
+        metric_states, _ = eval_step(state, batch, labels, weight, dense_inputs,
+                                     metric_states)
+    out = M.compute_metrics(bundle.metrics, metric_states)
+    return jax.device_get(out)
+
+
+def predict(bundle: ModelBundle, dataset: Iterable, state: TrainState,
+            mode: str = "local", example_id_key: Optional[str] = None):
+    """Yields (example_ids, predict outputs) per batch — the
+    ``example_id_slot`` dump contract (``rank/multi_head/multidnn.py:250``)."""
+    predict_step = make_predict_step(bundle, mode=mode)
+    for item in dataset:
+        batch, dense_inputs = item[0], item[1]
+        extra = item[4] if len(item) > 4 else None
+        outputs = jax.device_get(predict_step(state, batch, dense_inputs))
+        ids = None
+        if extra is not None and example_id_key is not None:
+            ids = extra.get(example_id_key)
+        yield ids, outputs
+
+
+def dump_predict(bundle: ModelBundle, dataset: Iterable, state: TrainState,
+                 path: str, mode: str = "local",
+                 example_id_key: str = "example_id") -> int:
+    """Write ``example_id \\t task=score...`` TSV (the dump_predict util the
+    reference imports from its absent platform, ``rank/multi_head/model.py:9``)."""
+    n = 0
+    tasks = None
+    with open(path, "w") as f:
+        for ids, outputs in predict(bundle, dataset, state, mode=mode,
+                                    example_id_key=example_id_key):
+            if tasks is None:
+                tasks = sorted(outputs.keys())
+            batch_n = len(next(iter(outputs.values())))
+            for row in range(batch_n):
+                eid = ids[row] if ids is not None else n
+                cols = [str(eid)] + ["%.6g" % float(np.ravel(outputs[t][row])[0])
+                                     for t in tasks]
+                f.write("\t".join(cols) + "\n")
+                n += 1
+    return n

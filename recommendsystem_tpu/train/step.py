@@ -1,0 +1,140 @@
+"""Jit-compiled train / eval / predict steps.
+
+Keras-compile semantics re-expressed functionally (``rank/ctr/
+base_model.py:179-196``): total loss = Σ_task loss_weight · weighted-mean
+(loss_fn(y, pred)) + Σ regularization (the ``losses`` sow collection, i.e.
+Keras ``model.losses``).  Dense grads are averaged across the data axis by
+XLA (params replicated, batch sharded — the ``tn.optimizer.Optimizer``
+dense-averaging contract); sparse grads apply lazily per-row via the
+embedding engine (the PS push contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS
+from ..embedding.engine import IdBatch
+from ..models.base import ModelBundle
+from . import metrics as M
+from .state import TrainState, state_shardings
+
+
+def _weighted_task_loss(loss_fn, y, pred, sample_weight):
+    """Keras loss reduction: scalar losses pass through; per-sample /
+    per-element losses are (sample-weighted) means."""
+    raw = loss_fn(jnp.asarray(y), pred)
+    if raw.ndim == 0:
+        return raw
+    if sample_weight is not None:
+        w = jnp.broadcast_to(jnp.asarray(sample_weight).reshape(raw.shape[0], *([1] * (raw.ndim - 1))), raw.shape)
+        return jnp.sum(raw * w) / jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.mean(raw)
+
+
+def total_loss_fn(bundle: ModelBundle, params, table_weights, batch, labels,
+                  sample_weight=None, dense_inputs=None, training=True,
+                  rngs=None, mode: str = "local", mesh: Optional[Mesh] = None):
+    if mode == "sharded":
+        embs = bundle.embedding.lookup_sharded(table_weights, batch, mesh)
+    else:
+        embs = bundle.embedding.lookup(table_weights, batch, mode=mode)
+    kwargs = {}
+    if dense_inputs is not None:
+        kwargs["dense_inputs"] = dense_inputs
+    outputs, mutated = bundle.module.apply(
+        {"params": params}, embs, training=training, rngs=rngs,
+        mutable=["losses"], **kwargs)
+
+    loss = jnp.float32(0)
+    task_losses = {}
+    for task, loss_fn in bundle.losses.items():
+        lw = (bundle.loss_weights or {}).get(task, 1.0)
+        tl = _weighted_task_loss(loss_fn, labels[task], outputs[task], sample_weight)
+        task_losses[task] = tl
+        loss = loss + lw * tl
+    reg = jnp.float32(0)
+    for leaf in jax.tree.leaves(mutated.get("losses", {})):
+        reg = reg + jnp.sum(leaf)
+    loss = loss + reg
+    return loss, {"task_losses": task_losses, "regularization": reg,
+                  "outputs": outputs}
+
+
+def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
+                    mode: str = "local", donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
+    dropout_rng) -> (state, metrics_dict)."""
+
+    def step(state: TrainState, batch, labels, sample_weight, dense_inputs, rng):
+        rngs = {"dropout": rng}
+
+        def lfn(params, weights):
+            return total_loss_fn(bundle, params, weights, batch, labels,
+                                 sample_weight=sample_weight,
+                                 dense_inputs=dense_inputs, training=True,
+                                 rngs=rngs, mode=mode, mesh=mesh)
+
+        weights = bundle.embedding.weights(state.tables)
+        (loss, aux), (gp, gw) = jax.value_and_grad(lfn, argnums=(0, 1),
+                                                   has_aux=True)(state.params, weights)
+
+        updates, opt_state = bundle.dense_optimizer.update(gp, state.opt_state,
+                                                           state.params)
+        import optax
+        params = optax.apply_updates(state.params, updates)
+
+        counts = bundle.embedding.row_counts(batch)
+        tables = bundle.embedding.apply_gradients(state.tables, gw, counts)
+
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               tables=tables, step=state.step + 1)
+        info = {"loss": loss, **{f"loss/{t}": v for t, v in aux["task_losses"].items()},
+                "regularization": aux["regularization"]}
+        return new_state, info
+
+    if mesh is not None:
+        # pjit: batch/labels sharded over data axis, state per state_shardings
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(bundle: ModelBundle, mode: str = "local") -> Callable:
+    """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
+    metric_states) -> (metric_states, outputs)."""
+
+    def step(state: TrainState, batch, labels, sample_weight, dense_inputs,
+             metric_states):
+        weights = bundle.embedding.weights(state.tables)
+        embs = bundle.embedding.lookup(weights, batch, mode=mode)
+        kwargs = {}
+        if dense_inputs is not None:
+            kwargs["dense_inputs"] = dense_inputs
+        outputs = bundle.module.apply({"params": state.params}, embs,
+                                      training=False, **kwargs)
+        y = {t: jnp.asarray(labels[t]) for t in bundle.metrics}
+        preds = {t: outputs[t] for t in bundle.metrics}
+        metric_states = M.update_metrics(bundle.metrics, metric_states, y, preds,
+                                         sample_weight)
+        return metric_states, outputs
+
+    return jax.jit(step)
+
+
+def make_predict_step(bundle: ModelBundle, mode: str = "local") -> Callable:
+    def step(state: TrainState, batch, dense_inputs):
+        weights = bundle.embedding.weights(state.tables)
+        embs = bundle.embedding.lookup(weights, batch, mode=mode)
+        kwargs = {}
+        if dense_inputs is not None:
+            kwargs["dense_inputs"] = dense_inputs
+        outputs = bundle.module.apply({"params": state.params}, embs,
+                                      training=False, **kwargs)
+        return bundle.predict_view(outputs)
+
+    return jax.jit(step)

@@ -1,0 +1,140 @@
+"""End-to-end training tests: losses decrease, metrics stream, AUC learns the
+planted signal, checkpoints round-trip (SURVEY §4 plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommendsystem_tpu.data import synthetic_batch
+from recommendsystem_tpu.models import create_model
+from recommendsystem_tpu.train import (
+    create_train_state, evaluate, fit, dump_predict,
+    make_eval_step, make_train_step, restore_checkpoint, save_checkpoint,
+)
+from recommendsystem_tpu.train import losses as L
+from recommendsystem_tpu.train import metrics as M
+
+
+def dataset(bundle, n_batches, batch_size=64, seed0=0):
+    for i in range(n_batches):
+        yield synthetic_batch(bundle, batch_size, seed=seed0 + i)
+
+
+class TestLosses:
+    def test_ce_sum_mean_matches_numpy(self):
+        y = jnp.array([[1.0], [0.0]])
+        p = jnp.array([[0.9], [0.2]])
+        got = L.cross_entropy_sum_mean(y, p)
+        expect = np.mean([-np.log(0.9 + 1e-6),
+                          -np.log(1 - 0.2 + 1e-6)])
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    def test_kl_ignores_last_column(self):
+        dist = np.full((2, 400), 1.0 / 400, np.float32)
+        y = np.concatenate([dist, np.array([[42.0], [7.0]])], axis=1)
+        p = np.concatenate([dist, np.array([[1.0], [2.0]])], axis=1)
+        got = L.kl_loss(jnp.asarray(y), jnp.asarray(p))
+        np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+    def test_log_mse(self):
+        y = jnp.array([[1000.0]])           # 1s -> log(2)
+        p = jnp.array([[np.log(2.0)]])
+        np.testing.assert_allclose(L.log_mse_loss(y, p), 0.0, atol=1e-6)
+
+
+class TestMetrics:
+    def test_auc_perfect_and_random(self):
+        m = M.auc()
+        s = m.init()
+        y = jnp.array([0.0, 0, 1, 1])
+        s = m.update(s, y, jnp.array([0.1, 0.2, 0.8, 0.9]))
+        assert float(m.compute(s)) > 0.99
+        s2 = m.init()
+        s2 = m.update(s2, y, jnp.array([0.5, 0.5, 0.5, 0.5]))
+        assert abs(float(m.compute(s2)) - 0.5) < 0.02
+
+    def test_auc_vs_sklearn(self):
+        from sklearn.metrics import roc_auc_score
+        rng = np.random.default_rng(0)
+        y = rng.integers(0, 2, 500).astype(np.float32)
+        p = np.clip(y * 0.3 + rng.uniform(0, 0.7, 500), 0, 1).astype(np.float32)
+        m = M.auc()
+        s = m.update(m.init(), jnp.asarray(y), jnp.asarray(p))
+        got = float(m.compute(s))
+        expect = roc_auc_score(y, p)
+        assert abs(got - expect) < 0.01
+
+    def test_copc_and_ctr(self):
+        y = jnp.array([[1.0], [0.0], [1.0], [0.0]])
+        p = jnp.array([[0.5], [0.5], [0.5], [0.5]])
+        mc = M.copc()
+        s = mc.update(mc.init(), y, p)
+        np.testing.assert_allclose(float(mc.compute(s)), 2.0 / 2.0)
+        mr = M.ctr()
+        s = mr.update(mr.init(), y, p)
+        np.testing.assert_allclose(float(mr.compute(s)), 0.5)
+
+
+class TestTrainLoop:
+    def test_autoint_learns_planted_signal(self):
+        # production LRs are 5e-5 (base_model.py:163,192); raise them so the
+        # signal is learnable within a 60-step test
+        bundle = create_model("autoint", bucket_size=512,
+                              sparse_lr=5e-2, dense_lr=1e-2)
+        state = fit(bundle, dataset(bundle, 60), log_every=0)
+        metrics = evaluate(bundle, dataset(bundle, 8, seed0=1000), state)
+        auc = float(metrics["video_id_rank_skip_model"]["auc"])
+        assert auc > 0.62, f"AUC {auc} did not beat random on planted signal"
+
+    def test_loss_decreases_finish(self):
+        bundle = create_model("finish", bucket_size=512)
+        losses = []
+        fit(bundle, dataset(bundle, 30),
+            callbacks=[lambda i, s, info: losses.append(float(info["loss"]))],
+            log_every=0)
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_multi_task_loss_weights_staytime(self):
+        from recommendsystem_tpu.models.staytime import StaytimeConfig
+        cfg = StaytimeConfig(bucket_size=256, seq_max_len=4)
+        bundle = create_model("staytime", cfg=cfg)
+        losses = []
+        fit(bundle, dataset(bundle, 8, batch_size=32),
+            callbacks=[lambda i, s, info: losses.append(
+                {k: float(v) for k, v in info.items() if k.startswith("loss")})],
+            log_every=0)
+        assert losses[-1]["loss"] < losses[0]["loss"]
+        # all three task losses present
+        assert sum(1 for k in losses[0] if k.startswith("loss/")) == 3
+
+    def test_rough_rank_distill_trains(self):
+        bundle = create_model("rough_rank", bucket_size=256)
+        losses = []
+        fit(bundle, dataset(bundle, 20, batch_size=32),
+            callbacks=[lambda i, s, info: losses.append(float(info["loss"]))],
+            log_every=0)
+        assert losses[-1] < losses[0]
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        bundle = create_model("autoint", bucket_size=256)
+        batch, dense, labels, w = synthetic_batch(bundle, 16)
+        state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+        step = make_train_step(bundle, donate=False)
+        state, _ = step(state, batch, labels, w, None, jax.random.PRNGKey(1))
+        path = save_checkpoint(str(tmp_path / "ckpt"), state)
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_dump_predict(self, tmp_path):
+        bundle = create_model("autoint", bucket_size=256)
+        batch, dense, labels, w = synthetic_batch(bundle, 8)
+        state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+        out = str(tmp_path / "preds.tsv")
+        n = dump_predict(bundle, [(batch, None, labels, w)], state, out)
+        lines = open(out).read().strip().split("\n")
+        assert n == 8 and len(lines) == 8
+        assert all(len(l.split("\t")) == 2 for l in lines)
