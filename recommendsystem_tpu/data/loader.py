@@ -123,6 +123,34 @@ class Prefetcher:
         return item
 
 
+def balance_batches(it: Iterable, batch_size: int):
+    """tn.data.BalanceDataset analog (``staytime/parse.py:89``): keep every
+    worker stepping in lockstep by padding short final batches up to
+    ``batch_size`` with repeated rows whose sample_weight is zeroed, so jit
+    sees one static batch shape and padded rows contribute nothing."""
+    import numpy as np
+
+    def pad_leaf(x):
+        n = x.shape[0]
+        if n == batch_size:
+            return x
+        reps = np.concatenate([x] * ((batch_size + n - 1) // n), axis=0)
+        return reps[:batch_size]
+
+    for item in it:
+        batch, dense, labels, weight = item[0], item[1], item[2], item[3]
+        n = weight.shape[0]
+        if n < batch_size:
+            import jax
+            batch = jax.tree.map(pad_leaf, batch)
+            dense = None if dense is None else jax.tree.map(pad_leaf, dense)
+            labels = jax.tree.map(pad_leaf, labels)
+            w = pad_leaf(weight).copy()
+            w[n:] = 0.0
+            weight = w
+        yield (batch, dense, labels, weight) + tuple(item[4:])
+
+
 def dataset_reader(data_dir: str, dates: Sequence[str], match_pattern: str,
                    batch_size: int,
                    parse_fn: Callable[[List[bytes]], object],

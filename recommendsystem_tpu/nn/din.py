@@ -6,8 +6,10 @@
    plain matmul with the values.
 
 2. ``DINPool``: staytime variant of ``staytime/layer.py:6-41`` — scorer MLP
-   [16 sigmoid, 1 linear] over concat(q, k, q-k, q*k); masked positions get
+   [16 sigmoid, 1 linear] over concat(q, f, q-f, q*f); masked positions get
    ``-2**32+1`` then softmax (``layer.py:32-35``); weighted sum over facts.
+   On TPU the whole pool runs as one fused Pallas kernel
+   (``kernels/din_pallas.py``).
 
 SURVEY §7 "Mask numerics": the two masking conventions differ on purpose.
 """
@@ -70,18 +72,37 @@ class DINPool(nn.Module):
     query: (B, H); facts: (B, T, H); mask: (B, T) bool.  Returns (B, H).
     """
 
+    hidden: int = 16
+
     @nn.compact
     def __call__(self, query, facts, mask: Optional[jnp.ndarray] = None):
+        h = facts.shape[-1]
+        glorot = nn.initializers.glorot_uniform()
+        zeros = nn.initializers.zeros_init()
+        w1 = self.param("w1", glorot, (4 * h, self.hidden))
+        b1 = self.param("b1", zeros, (self.hidden,))
+        w2 = self.param("w2", glorot, (self.hidden, 1))
+        b2 = self.param("b2", zeros, (1,))
+
+        from ..kernels.flags import use_pallas
+        if mask is None:
+            mask_f = jnp.ones(facts.shape[:2], jnp.float32)
+        else:
+            mask_f = mask.astype(jnp.float32)
+
+        if use_pallas() and self.hidden == 16:
+            from ..kernels.din_pallas import din_pool
+            return din_pool(query, facts, mask_f, w1, b1, w2, b2)
+
         t = facts.shape[1]
         queries = jnp.broadcast_to(query[:, None, :], facts.shape)  # (B, T, H)
-        din_all = jnp.concatenate([queries, facts, queries - facts, queries * facts],
-                                  axis=-1)
-        x = Dense(16, activation="sigmoid", name="layer_1")(din_all)
-        x = Dense(1, activation=None, name="layer_2")(x)
+        din_all = jnp.concatenate([queries, facts, queries - facts,
+                                   queries * facts], axis=-1)
+        x = jax.nn.sigmoid(din_all @ w1 + b1)
+        x = x @ w2 + b2
         scores = x.reshape(-1, 1, t)                                # (B, 1, T)
-        if mask is not None:
-            key_masks = mask[:, None, :t]
-            scores = jnp.where(key_masks, scores, jnp.full_like(scores, MASK_PAD))
+        scores = jnp.where(mask_f[:, None, :] > 0, scores,
+                           jnp.full_like(scores, MASK_PAD))
         scores = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bot,bth->boh", scores, facts,
                          preferred_element_type=jnp.float32)

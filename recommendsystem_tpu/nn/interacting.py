@@ -3,7 +3,7 @@
 Re-design of reference ``InteractingLayer.py:7-61`` (byte-identical copy at
 ``rank/multi_head/interacting_layer.py``).  Faithful semantics:
 
-- ONE set of Q/K/V/res Dense layers (relu-activated) shared across all
+- ONE set of Q/K/V/res projections (relu-activated) shared across all
   ``layer_num`` stacked iterations (created once in ``__init__``,
   ``InteractingLayer.py:24-30``);
 - head split via ``tf.split(axis=2)+concat(axis=0)`` == head-major fold into
@@ -11,18 +11,19 @@ Re-design of reference ``InteractingLayer.py:7-61`` (byte-identical copy at
 - scale by ``sqrt(d_head)`` (``:51``), softmax over keys, optional dropout on
   the attention weights (``:53-54``), residual + ReLU + LayerNorm (``:57-60``).
 
-The TPU implementation keeps the whole (B, F, D) block resident and uses a
-batched einsum that XLA maps onto the MXU; an optional fused Pallas kernel
-lives in ``kernels/interacting_pallas.py``.
+Dispatch: on TPU the per-iteration core runs as ONE fused Pallas kernel
+(``kernels/interacting_pallas.py`` — projections + attention + residual +
+LN in a single VMEM pass); elsewhere (or when attention dropout is active in
+training) the identical math runs through XLA.
 """
 
 from __future__ import annotations
 
+from typing import Dict
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-
-from .mlp import Dense
 
 
 class InteractingLayer(nn.Module):
@@ -34,6 +35,59 @@ class InteractingLayer(nn.Module):
     use_res: bool = True
     ln_epsilon: float = 1e-3   # Keras LayerNormalization default
 
+    def _params(self, d: int) -> Dict[str, jnp.ndarray]:
+        glorot = nn.initializers.glorot_uniform()
+        zeros = nn.initializers.zeros_init()
+        ones = nn.initializers.ones_init()
+        u = self.unit_num
+        p = {
+            "wq": self.param("wq", glorot, (d, u)),
+            "bq": self.param("bq", zeros, (u,)),
+            "wk": self.param("wk", glorot, (d, u)),
+            "bk": self.param("bk", zeros, (u,)),
+            "wv": self.param("wv", glorot, (d, u)),
+            "bv": self.param("bv", zeros, (u,)),
+            "gamma": self.param("ln_scale", ones, (u,)),
+            "beta": self.param("ln_bias", zeros, (u,)),
+        }
+        if self.use_res:
+            p["wr"] = self.param("wr", glorot, (d, u))
+            p["br"] = self.param("br", zeros, (u,))
+        else:   # the fused kernel always applies a residual projection
+            p["wr"] = jnp.zeros((d, u), jnp.float32)
+            p["br"] = jnp.zeros((u,), jnp.float32)
+        return p
+
+    def _xla_iteration(self, x, p, training, dropout=None):
+        b, f, _ = x.shape
+        u = self.unit_num
+        dh = u // self.head_num
+
+        flat = x.reshape(b * f, -1)
+        q = jax.nn.relu(flat @ p["wq"] + p["bq"]).reshape(b, f, u)
+        k = jax.nn.relu(flat @ p["wk"] + p["bk"]).reshape(b, f, u)
+        v = jax.nn.relu(flat @ p["wv"] + p["bv"]).reshape(b, f, u)
+        r = jax.nn.relu(flat @ p["wr"] + p["br"]).reshape(b, f, u) \
+            if self.use_res else None
+
+        def heads(t):
+            return t.reshape(b, f, self.head_num, dh).transpose(0, 2, 1, 3)
+
+        w = jnp.einsum("bhfd,bhgd->bhfg", heads(q), heads(k),
+                       preferred_element_type=jnp.float32) / (dh ** 0.5)
+        w = jax.nn.softmax(w, axis=-1)
+        if dropout is not None:
+            w = dropout(w)
+        o = jnp.einsum("bhfg,bhgd->bhfd", w, heads(v),
+                       preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(b, f, u)
+        if self.use_res:
+            o = o + r
+        o = jax.nn.relu(o)
+        mu = jnp.mean(o, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
+        return (o - mu) * jax.lax.rsqrt(var + self.ln_epsilon) * p["gamma"] + p["beta"]
+
     @nn.compact
     def __call__(self, inputs, training: bool = False):
         if inputs.ndim != 3:
@@ -41,42 +95,22 @@ class InteractingLayer(nn.Module):
                 "The rank of input of InteractingLayer must be 3, but now is %d" % inputs.ndim)
         if self.unit_num % self.head_num != 0:
             raise ValueError("unit_num must divide head_num")
-        d_head = self.unit_num // self.head_num
 
-        query_dense = Dense(self.unit_num, activation="relu", name="query_dense")
-        key_dense = Dense(self.unit_num, activation="relu", name="key_dense")
-        value_dense = Dense(self.unit_num, activation="relu", name="value_dense")
-        res_dense = Dense(self.unit_num, activation="relu", name="res_dense") if self.use_res else None
-        layer_norm = nn.LayerNorm(epsilon=self.ln_epsilon, name="layer_norm")
+        from ..kernels.flags import use_pallas
+        from ..kernels.interacting_pallas import interacting_attention
+
+        p = self._params(inputs.shape[-1])
         dropout = nn.Dropout(self.dropout_rate, deterministic=not training,
                              name="weight_dropout") if self.use_dropout else None
-
+        # attention-weight dropout only exists on the XLA path; inference
+        # (deterministic) can always take the fused kernel
+        fused_ok = use_pallas() and not (self.use_dropout and training) \
+            and self.use_res
         output = inputs
-        for _ in range(self.layer_num):
-            b, f, _ = output.shape
-            query = query_dense(output)   # (B, F, U)
-            key = key_dense(output)
-            value = value_dense(output)
-            res = res_dense(output) if self.use_res else None
-
-            # (B, F, U) -> (B, H, F, dh); head-major batch fold is equivalent
-            # to tf.split(axis=2)+concat(axis=0) up to batch ordering, which
-            # the attention never mixes.
-            def split_heads(t):
-                return t.reshape(b, f, self.head_num, d_head).transpose(0, 2, 1, 3)
-
-            q, k, v = split_heads(query), split_heads(key), split_heads(value)
-            weight = jnp.einsum("bhfd,bhgd->bhfg", q, k,
-                                preferred_element_type=jnp.float32)
-            weight = weight / (d_head ** 0.5)
-            weight = jax.nn.softmax(weight, axis=-1)
-            if dropout is not None:
-                weight = dropout(weight)
-            out = jnp.einsum("bhfg,bhgd->bhfd", weight, v,
-                             preferred_element_type=jnp.float32)
-            output = out.transpose(0, 2, 1, 3).reshape(b, f, self.unit_num)
-            if self.use_res:
-                output = output + res
-            output = jax.nn.relu(output)
-            output = layer_norm(output)
+        for i in range(self.layer_num):
+            if fused_ok and output.shape[-1] == p["wq"].shape[0]:
+                output = interacting_attention(output, p, self.head_num,
+                                               self.ln_epsilon)
+            else:
+                output = self._xla_iteration(output, p, training, dropout)
         return output

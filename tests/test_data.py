@@ -187,3 +187,17 @@ class TestEndToEndParse:
         variables, tables = bundle.init(jax.random.PRNGKey(0), batch)
         out = bundle.forward(variables, bundle.embedding.weights(tables), batch)
         assert out[f"video_id_rank_staytime_mtl_ppnet_v7_staytime"].shape == (16, 401)
+
+
+class TestBalanceBatches:
+    def test_pads_short_final_batch(self):
+        import numpy as np
+        from recommendsystem_tpu.data.loader import balance_batches
+        b = {"f": np.arange(10).reshape(5, 2)}
+        labels = {"t": np.ones((5, 1))}
+        w = np.ones((5, 1))
+        out = list(balance_batches([(b, None, labels, w)], batch_size=8))
+        (b2, d2, l2, w2), = out
+        assert b2["f"].shape == (8, 2)
+        assert w2.shape == (8, 1)
+        assert w2[:5].sum() == 5 and w2[5:].sum() == 0   # pad rows weightless

@@ -45,20 +45,21 @@ class TestDense:
 class TestInteractingLayer:
     def _numpy_reference(self, x, params, head_num, unit_num, layer_num, use_res):
         """Direct translation of InteractingLayer.py:37-61 tf ops in numpy."""
-        def dense(t, p):
-            return np.maximum(t @ np.asarray(p["kernel"]) + np.asarray(p["bias"]), 0)
+        def dense(t, w, b):
+            return np.maximum(t @ np.asarray(params[w]) + np.asarray(params[b]), 0)
 
-        def layer_norm(t, p, eps=1e-3):
+        def layer_norm(t, eps=1e-3):
             mu = t.mean(-1, keepdims=True)
             var = t.var(-1, keepdims=True)
-            return (t - mu) / np.sqrt(var + eps) * np.asarray(p["scale"]) + np.asarray(p["bias"])
+            return ((t - mu) / np.sqrt(var + eps) * np.asarray(params["ln_scale"])
+                    + np.asarray(params["ln_bias"]))
 
         out = np.asarray(x)
         for _ in range(layer_num):
-            q = dense(out, params["query_dense"])
-            k = dense(out, params["key_dense"])
-            v = dense(out, params["value_dense"])
-            res = dense(out, params["res_dense"]) if use_res else None
+            q = dense(out, "wq", "bq")
+            k = dense(out, "wk", "bk")
+            v = dense(out, "wv", "bv")
+            res = dense(out, "wr", "br") if use_res else None
             # tf.split(axis=2) + concat(axis=0)
             qh = np.concatenate(np.split(q, head_num, axis=2), axis=0)
             kh = np.concatenate(np.split(k, head_num, axis=2), axis=0)
@@ -71,7 +72,7 @@ class TestInteractingLayer:
             if use_res:
                 out = out + res
             out = np.maximum(out, 0)
-            out = layer_norm(out, params["layer_norm"])
+            out = layer_norm(out)
         return out
 
     @pytest.mark.parametrize("heads,layers", [(1, 1), (2, 1), (2, 3)])
