@@ -25,8 +25,15 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
         state: Optional[TrainState] = None, rng=None, mesh=None,
         mode: str = "local", log_every: int = 100,
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
-        callbacks=()) -> TrainState:
-    """``dataset`` yields (batch, dense_inputs, labels, sample_weight)."""
+        resume: bool = False, profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 20), callbacks=()) -> TrainState:
+    """``dataset`` yields (batch, dense_inputs, labels, sample_weight).
+
+    ``resume=True`` restores the latest checkpoint under ``checkpoint_dir``
+    before training (crash recovery).  ``profile_dir`` captures an XLA/TPU
+    profiler trace over ``profile_steps`` (reference has no tracing at all —
+    SURVEY §5).
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(bundle, mesh=mesh, mode=mode)
 
@@ -38,6 +45,15 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
         rng, init_rng = jax.random.split(rng)
         state = create_train_state(bundle, init_rng, batch, dense_inputs)
 
+    if resume and checkpoint_dir:
+        import os
+        if os.path.isdir(checkpoint_dir) and any(
+                d.isdigit() for d in os.listdir(checkpoint_dir)):
+            state = restore_checkpoint(checkpoint_dir, state)
+            log.info("resumed from %s at step %d", checkpoint_dir,
+                     int(state.step))
+
+    profiling = False
     t0 = time.time()
     seen = 0
     i = 0
@@ -50,12 +66,20 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
                 item = next(it)
             except StopIteration:
                 break
+        if profile_dir and i == profile_steps[0] and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         batch, dense_inputs, labels, weight = item
         rng, step_rng = jax.random.split(rng)
         state, info = train_step(state, batch, labels, weight, dense_inputs,
                                  step_rng)
         seen += next(iter(jax.tree.leaves(batch))).shape[0]
         i += 1
+        if profiling and i >= profile_steps[1]:
+            jax.block_until_ready(info["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            log.info("profiler trace written to %s", profile_dir)
         if log_every and i % log_every == 0:
             info = jax.device_get(info)
             rate = seen / (time.time() - t0)
@@ -64,6 +88,8 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
             save_checkpoint(checkpoint_dir, state)
         for cb in callbacks:
             cb(i, state, info)
+    if profiling:
+        jax.profiler.stop_trace()
     return state
 
 

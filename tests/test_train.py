@@ -138,3 +138,25 @@ class TestCheckpoint:
         lines = open(out).read().strip().split("\n")
         assert n == 8 and len(lines) == 8
         assert all(len(l.split("\t")) == 2 for l in lines)
+
+
+class TestResumeAndProfile:
+    def test_fit_resume_from_checkpoint(self, tmp_path):
+        bundle = create_model("autoint", bucket_size=256)
+        ckdir = str(tmp_path / "ck")
+        state1 = fit(bundle, dataset(bundle, 4, batch_size=16), log_every=0,
+                     checkpoint_dir=ckdir, checkpoint_every=2)
+        # resume picks up the saved step counter
+        state2 = fit(bundle, dataset(bundle, 2, batch_size=16), log_every=0,
+                     checkpoint_dir=ckdir, resume=True)
+        assert int(state2.step) == 4 + 2  # 4 saved at step 4, +2 new steps
+
+    def test_fit_profile_trace(self, tmp_path):
+        bundle = create_model("autoint", bucket_size=256)
+        pdir = str(tmp_path / "prof")
+        fit(bundle, dataset(bundle, 4, batch_size=16), log_every=0,
+            profile_dir=pdir, profile_steps=(1, 3))
+        import os
+        found = any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+                    for _, _, fs in os.walk(pdir) for f in fs)
+        assert found, "no profiler trace written"
