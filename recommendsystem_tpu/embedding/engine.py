@@ -191,6 +191,91 @@ class EmbeddingFeatures:
             check_vma=False)
         return fn(weights, batch)
 
+    # ---------------- two-stage lookup (scatter-update path) ----------------
+    #
+    # The autodiff-through-gather path materializes table-shaped dense grads
+    # and the lazy optimizer then streams EVERY table row through HBM — O(sum
+    # of table sizes) per step.  The production path splits lookup into an
+    # explicit gather stage (not differentiated) and a combine stage
+    # (differentiated), takes grads w.r.t. the gathered (B, L, D) activations
+    # and applies unique+segment-sum scatter updates touching only the
+    # batch's rows: O(batch ids) HBM traffic, the actual PS push semantics.
+
+    def gather_raw(self, weights: Dict[str, jnp.ndarray],
+                   batch: Dict[str, IdBatch]) -> Dict[str, jnp.ndarray]:
+        raw = {}
+        for key, col in self.columns.items():
+            if key in batch:
+                raw[key] = jnp.take(weights[col.categorical_column.key],
+                                    batch[key].rows, axis=0)
+        return raw
+
+    def combine_raw(self, raw: Dict[str, jnp.ndarray],
+                    batch: Dict[str, IdBatch]):
+        out = {}
+        for key, col in self.columns.items():
+            if key not in raw:
+                continue
+            ids = batch[key]
+            if col.is_sequence:
+                emb = raw[key] * ids.mask.astype(raw[key].dtype)[..., None]
+                out[key] = (emb, ids.mask.astype(bool))
+            else:
+                out[key] = _combine(raw[key], ids.mask, col.combiner)
+        return out
+
+    def flatten_raw_grads(self, raw_grads: Dict[str, jnp.ndarray],
+                          batch: Dict[str, IdBatch]):
+        """Group per-column (B, L, D) grads by table -> (rows, grads, mask)
+        flat arrays."""
+        per_table: Dict[str, list] = {}
+        for key, g in raw_grads.items():
+            col = self.columns[key]
+            ids = batch[key]
+            d = g.shape[-1]
+            per_table.setdefault(col.categorical_column.key, []).append(
+                (ids.rows.reshape(-1), g.reshape(-1, d),
+                 ids.mask.reshape(-1).astype(jnp.float32)))
+        out = {}
+        for tkey, parts in per_table.items():
+            rows = jnp.concatenate([p[0] for p in parts])
+            grads = jnp.concatenate([p[1] for p in parts])
+            mask = jnp.concatenate([p[2] for p in parts])
+            out[tkey] = (rows, grads, mask)
+        return out
+
+    def apply_gradients_scatter(self, state: Dict[str, Dict[str, Any]],
+                                flat: Dict[str, Tuple]) -> Dict[str, Dict[str, Any]]:
+        new_state = {}
+        for tkey, tstate in state.items():
+            if tkey not in flat:
+                new_state[tkey] = tstate
+                continue
+            rows, grads, mask = flat[tkey]
+            n = rows.shape[0]
+            u_rows, inv = jnp.unique(rows, return_inverse=True, size=n,
+                                     fill_value=0)
+            grad_u = jnp.zeros((n, grads.shape[-1]), grads.dtype
+                               ).at[inv].add(grads)
+            count_u = jnp.zeros((n,), jnp.float32).at[inv].add(mask)[:, None]
+            valid = (count_u > 0).astype(jnp.float32)
+
+            w_rows = jnp.take(tstate["w"], u_rows, axis=0)
+            opt_rows = jax.tree.map(lambda s: jnp.take(s, u_rows, axis=0),
+                                    tstate["opt"])
+            w_new, opt_new = self.sparse_opt.update_rows(w_rows, grad_u,
+                                                         opt_rows, valid)
+            # delta-add scatter: fill-slot duplicates contribute zero, so the
+            # unspecified scatter order cannot corrupt row 0
+            w = tstate["w"].at[u_rows].add(valid * (w_new - w_rows))
+            opt = jax.tree.map(
+                lambda s, s_rows, s_new: s.at[u_rows].add(
+                    valid * (s_new - s_rows)),
+                tstate["opt"], opt_rows, opt_new)
+            show = tstate["show"].at[u_rows].add(count_u * valid)
+            new_state[tkey] = {"w": w, "opt": opt, "show": show}
+        return new_state
+
     # ---------------- sparse update ----------------
 
     def row_counts(self, batch: Dict[str, IdBatch]) -> Dict[str, jnp.ndarray]:

@@ -66,12 +66,47 @@ def total_loss_fn(bundle: ModelBundle, params, table_weights, batch, labels,
                   "outputs": outputs}
 
 
-def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
-                    mode: str = "local", donate: bool = True) -> Callable:
-    """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
-    dropout_rng) -> (state, metrics_dict)."""
+def _model_outputs_and_loss(bundle, params, embs, labels, sample_weight,
+                            dense_inputs, training, rngs):
+    kwargs = {}
+    if dense_inputs is not None:
+        kwargs["dense_inputs"] = dense_inputs
+    outputs, mutated = bundle.module.apply(
+        {"params": params}, embs, training=training, rngs=rngs,
+        mutable=["losses"], **kwargs)
+    loss = jnp.float32(0)
+    task_losses = {}
+    for task, loss_fn in bundle.losses.items():
+        lw = (bundle.loss_weights or {}).get(task, 1.0)
+        tl = _weighted_task_loss(loss_fn, labels[task], outputs[task], sample_weight)
+        task_losses[task] = tl
+        loss = loss + lw * tl
+    reg = jnp.float32(0)
+    for leaf in jax.tree.leaves(mutated.get("losses", {})):
+        reg = reg + jnp.sum(leaf)
+    loss = loss + reg
+    return loss, {"task_losses": task_losses, "regularization": reg,
+                  "outputs": outputs}
 
-    def step(state: TrainState, batch, labels, sample_weight, dense_inputs, rng):
+
+def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
+                    mode: str = "local", donate: bool = True,
+                    sparse_update: Optional[str] = None) -> Callable:
+    """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
+    dropout_rng) -> (state, metrics_dict).
+
+    ``sparse_update``: 'scatter' (default on the local path) differentiates
+    w.r.t. the gathered embedding activations and applies unique+scatter row
+    updates — O(batch ids) HBM traffic; 'dense' (default when sharded)
+    differentiates through the gather and updates lazily over whole tables.
+    """
+    if sparse_update is None:
+        sparse_update = "dense" if mode == "sharded" else "scatter"
+
+    import optax
+
+    def step_dense(state: TrainState, batch, labels, sample_weight,
+                   dense_inputs, rng):
         rngs = {"dropout": rng}
 
         def lfn(params, weights):
@@ -86,7 +121,6 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
 
         updates, opt_state = bundle.dense_optimizer.update(gp, state.opt_state,
                                                            state.params)
-        import optax
         params = optax.apply_updates(state.params, updates)
 
         counts = bundle.embedding.row_counts(batch)
@@ -98,9 +132,35 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                 "regularization": aux["regularization"]}
         return new_state, info
 
-    if mesh is not None:
-        # pjit: batch/labels sharded over data axis, state per state_shardings
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    def step_scatter(state: TrainState, batch, labels, sample_weight,
+                     dense_inputs, rng):
+        rngs = {"dropout": rng}
+        weights = bundle.embedding.weights(state.tables)
+        raw = bundle.embedding.gather_raw(weights, batch)
+
+        def lfn(params, raw_):
+            embs = bundle.embedding.combine_raw(raw_, batch)
+            return _model_outputs_and_loss(bundle, params, embs, labels,
+                                           sample_weight, dense_inputs,
+                                           True, rngs)
+
+        (loss, aux), (gp, graw) = jax.value_and_grad(lfn, argnums=(0, 1),
+                                                     has_aux=True)(state.params, raw)
+
+        updates, opt_state = bundle.dense_optimizer.update(gp, state.opt_state,
+                                                           state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        flat = bundle.embedding.flatten_raw_grads(graw, batch)
+        tables = bundle.embedding.apply_gradients_scatter(state.tables, flat)
+
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               tables=tables, step=state.step + 1)
+        info = {"loss": loss, **{f"loss/{t}": v for t, v in aux["task_losses"].items()},
+                "regularization": aux["regularization"]}
+        return new_state, info
+
+    step = step_scatter if sparse_update == "scatter" else step_dense
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

@@ -165,3 +165,73 @@ class TestShardedLookup:
         sharded_out = fn(state["f1"]["w"], rows, mask)
         np.testing.assert_allclose(np.asarray(sharded_out), np.asarray(local_out),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestScatterUpdatePath:
+    """The scatter (two-stage) train path must match the dense-lazy path."""
+
+    def _setup(self, opt):
+        eng = make_engine(bucket=64, seq=True, opt=opt)
+        state = eng.init(jax.random.PRNGKey(0))
+        rows = jnp.array([[1, 2, 2, 0], [5, 5, 0, 0]], jnp.int32)
+        mask = jnp.array([[1, 1, 1, 0], [1, 1, 0, 0]], jnp.float32)
+        srows = jnp.array([[7, 8, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0]], jnp.int32)
+        smask = jnp.array([[1, 1, 0, 0, 0, 0], [1, 0, 0, 0, 0, 0]], jnp.float32)
+        batch = {"f1": IdBatch(rows, mask), "seq_f1": IdBatch(srows, smask)}
+        return eng, state, batch
+
+    @pytest.mark.parametrize("opt", [SparseAdam(learning_rate=0.01),
+                                     SparseAdaGrad(learning_rate=0.01)])
+    def test_matches_dense_path(self, opt):
+        eng, state, batch = self._setup(opt)
+
+        def loss_from_embs(out):
+            emb = out["f1"]
+            seq, m = out["seq_f1"]
+            return jnp.sum(emb ** 2) + jnp.sum(jnp.sin(seq))
+
+        # dense path
+        def loss_dense(weights):
+            return loss_from_embs(eng.lookup(weights, batch))
+        gw = jax.grad(loss_dense)(eng.weights(state))
+        dense_state = eng.apply_gradients(state, gw, eng.row_counts(batch))
+
+        # scatter path
+        raw = eng.gather_raw(eng.weights(state), batch)
+        graw = jax.grad(lambda r: loss_from_embs(eng.combine_raw(r, batch)))(raw)
+        flat = eng.flatten_raw_grads(graw, batch)
+        scatter_state = eng.apply_gradients_scatter(state, flat)
+
+        np.testing.assert_allclose(np.asarray(scatter_state["f1"]["w"]),
+                                   np.asarray(dense_state["f1"]["w"]),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(scatter_state["f1"]["show"]),
+                                   np.asarray(dense_state["f1"]["show"]))
+        for k in dense_state["f1"]["opt"]:
+            np.testing.assert_allclose(
+                np.asarray(scatter_state["f1"]["opt"][k]),
+                np.asarray(dense_state["f1"]["opt"][k]),
+                rtol=1e-5, atol=1e-7, err_msg=k)
+
+    def test_train_step_modes_agree(self):
+        from recommendsystem_tpu.data import synthetic_batch
+        from recommendsystem_tpu.models import create_model
+        from recommendsystem_tpu.train import create_train_state
+        from recommendsystem_tpu.train.step import make_train_step
+
+        bundle = create_model("autoint", bucket_size=256)
+        batch, dense, labels, w = synthetic_batch(bundle, 16, seed=0)
+        state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+        rng = jax.random.PRNGKey(3)
+        s1, i1 = make_train_step(bundle, donate=False,
+                                 sparse_update="dense")(state, batch, labels, w, None, rng)
+        s2, i2 = make_train_step(bundle, donate=False,
+                                 sparse_update="scatter")(state, batch, labels, w, None, rng)
+        np.testing.assert_allclose(float(i2["loss"]), float(i1["loss"]), rtol=1e-6)
+        for tkey in s1.tables:
+            np.testing.assert_allclose(np.asarray(s2.tables[tkey]["w"]),
+                                       np.asarray(s1.tables[tkey]["w"]),
+                                       rtol=1e-5, atol=1e-7)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-7)

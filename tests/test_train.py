@@ -160,3 +160,25 @@ class TestResumeAndProfile:
         found = any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
                     for _, _, fs in os.walk(pdir) for f in fs)
         assert found, "no profiler trace written"
+
+
+class TestServingExport:
+    def test_export_roundtrip(self, tmp_path):
+        from recommendsystem_tpu.train.export import (
+            export_serving, load_serving, make_serving_fn)
+
+        bundle = create_model("autoint", bucket_size=256)
+        batch, dense, labels, w = synthetic_batch(bundle, 8)
+        state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+        weights = bundle.embedding.weights(state.tables)
+
+        blob = export_serving(bundle, state, batch, path=str(tmp_path / "srv"))
+        assert (tmp_path / "srv" / "model.stablehlo").exists()
+        assert (tmp_path / "srv" / "signature.json").exists()
+
+        served = load_serving(blob)
+        got = served(weights, state.params, batch, None)
+        want = make_serving_fn(bundle)(weights, state.params, batch, None)
+        for t in want:
+            np.testing.assert_allclose(np.asarray(got[t]), np.asarray(want[t]),
+                                       rtol=1e-5)
