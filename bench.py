@@ -141,10 +141,52 @@ def get_tf_baseline() -> float:
         return -1.0
 
 
+def bench_model(name: str, batch: int, steps: int = 20, **kwargs) -> float:
+    """Train-throughput for any zoo model (reported to stderr with --all)."""
+    import jax
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.train import create_train_state
+    from recommendsystem_tpu.train.step import make_train_step
+
+    bundle = create_model(name, **kwargs)
+    b, dense, labels, weight = synthetic_batch(bundle, batch, seed=0)
+    b = jax.device_put(b)
+    labels = jax.device_put(labels)
+    weight = jax.device_put(weight)
+    dense = jax.device_put(dense) if dense is not None else None
+    state = create_train_state(bundle, jax.random.PRNGKey(0), b, dense)
+    step = make_train_step(bundle)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, info = step(state, b, labels, weight, dense, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, info = step(state, b, labels, weight, dense, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    rate = batch * steps / dt
+    log(f"{name}: {steps} steps of {batch} in {dt:.3f}s -> {rate:,.0f} examples/s"
+        f" ({dt / steps * 1e3:.2f} ms/step)")
+    return rate
+
+
+def bench_all():
+    from recommendsystem_tpu.models.staytime import StaytimeConfig
+    bench_model("ctr", 4096, bucket_size=265000)
+    bench_model("multi_head", 4096, bucket_size=265000)
+    bench_model("finish", 4096, bucket_size=25600)
+    bench_model("rough_rank", 4096, bucket_size=25600)
+    bench_model("staytime", 2048, cfg=StaytimeConfig())
+
+
 def main():
     rate = bench_jax()
     tf_rate = get_tf_baseline()
     vs = rate / tf_rate if tf_rate > 0 else 0.0
+    if "--all" in sys.argv:
+        bench_all()
     print(json.dumps({
         "metric": "autoint_ctr_train_examples_per_sec_per_chip",
         "value": round(rate, 1),

@@ -44,26 +44,8 @@ def total_loss_fn(bundle: ModelBundle, params, table_weights, batch, labels,
         embs = bundle.embedding.lookup_sharded(table_weights, batch, mesh)
     else:
         embs = bundle.embedding.lookup(table_weights, batch, mode=mode)
-    kwargs = {}
-    if dense_inputs is not None:
-        kwargs["dense_inputs"] = dense_inputs
-    outputs, mutated = bundle.module.apply(
-        {"params": params}, embs, training=training, rngs=rngs,
-        mutable=["losses"], **kwargs)
-
-    loss = jnp.float32(0)
-    task_losses = {}
-    for task, loss_fn in bundle.losses.items():
-        lw = (bundle.loss_weights or {}).get(task, 1.0)
-        tl = _weighted_task_loss(loss_fn, labels[task], outputs[task], sample_weight)
-        task_losses[task] = tl
-        loss = loss + lw * tl
-    reg = jnp.float32(0)
-    for leaf in jax.tree.leaves(mutated.get("losses", {})):
-        reg = reg + jnp.sum(leaf)
-    loss = loss + reg
-    return loss, {"task_losses": task_losses, "regularization": reg,
-                  "outputs": outputs}
+    return _model_outputs_and_loss(bundle, params, embs, labels, sample_weight,
+                                   dense_inputs, training, rngs)
 
 
 def _model_outputs_and_loss(bundle, params, embs, labels, sample_weight,
