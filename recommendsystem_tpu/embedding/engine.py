@@ -102,10 +102,12 @@ class EmbeddingFeatures:
     """A collection of embedding columns backed by per-slot tables."""
 
     def __init__(self, embedding_columns: List[EmbeddingColumn], sparse_opt,
-                 name: str = "sparse_emb_input", num_shards: int = 1):
+                 name: str = "sparse_emb_input", num_shards: int = 1,
+                 group_tables: bool = False):
         self.name = name
         self.sparse_opt = sparse_opt
         self.num_shards = num_shards
+        self.group_tables = group_tables
         self.columns: Dict[str, EmbeddingColumn] = {}
         self.tables: Dict[str, Tuple[int, int]] = {}   # table_key -> (rows, dim)
         for col in embedding_columns:
@@ -123,13 +125,39 @@ class EmbeddingFeatures:
             else:
                 self.tables[tkey] = (rows, col.dimension)
 
+        # Table-group fusion: same-shape tables stack into one physical array
+        # so the step issues ONE gather / scatter per shape class instead of
+        # one per slot (staytime: 93 -> ~2).  ``storage`` maps storage_key ->
+        # (total_rows, dim); ``table_map`` maps table_key -> (storage_key,
+        # row_offset, rows).
+        self.table_map: Dict[str, Tuple[str, int, int]] = {}
+        self.storage: Dict[str, Tuple[int, int]] = {}
+        if group_tables:
+            by_shape: Dict[Tuple[int, int], List[str]] = {}
+            for tkey in sorted(self.tables):
+                by_shape.setdefault(self.tables[tkey], []).append(tkey)
+            for (rows, dim), members in sorted(by_shape.items()):
+                if len(members) == 1:
+                    tkey = members[0]
+                    self.storage[tkey] = (rows, dim)
+                    self.table_map[tkey] = (tkey, 0, rows)
+                else:
+                    skey = f"group_{rows}x{dim}"
+                    self.storage[skey] = (rows * len(members), dim)
+                    for i, tkey in enumerate(members):
+                        self.table_map[tkey] = (skey, i * rows, rows)
+        else:
+            for tkey, shape in self.tables.items():
+                self.storage[tkey] = shape
+                self.table_map[tkey] = (tkey, 0, shape[0])
+
     # ---------------- state ----------------
 
     def init(self, rng) -> Dict[str, Dict[str, Any]]:
         state = {}
-        for tkey, (rows, dim) in sorted(self.tables.items()):
+        for skey, (rows, dim) in sorted(self.storage.items()):
             rng, sub = jax.random.split(rng)
-            state[tkey] = {
+            state[skey] = {
                 "w": self.sparse_opt.table_init(sub, (rows, dim)),
                 "opt": self.sparse_opt.init_state((rows, dim)),
                 "show": jnp.zeros((rows, 1), jnp.float32),
@@ -140,9 +168,9 @@ class EmbeddingFeatures:
         """NamedShardings: table rows + per-row states over DATA_AXIS."""
         row = NamedSharding(mesh, P(DATA_AXIS, None))
         out = {}
-        for tkey, (rows, dim) in self.tables.items():
+        for skey in self.storage:
             opt = jax.tree.map(lambda _: row, self.sparse_opt.init_state((1, 1)))
-            out[tkey] = {"w": row, "opt": opt, "show": row}
+            out[skey] = {"w": row, "opt": opt, "show": row}
         return out
 
     # ---------------- lookup ----------------
@@ -160,14 +188,15 @@ class EmbeddingFeatures:
             if key not in batch:
                 continue
             ids = batch[key]
-            tkey = col.categorical_column.key
-            w = weights[tkey]
+            skey, offset, _ = self.table_map[col.categorical_column.key]
+            w = weights[skey]
+            rows = ids.rows + offset if offset else ids.rows
             b, l = ids.rows.shape
             if mode == "sharded":
-                emb = all_to_all_lookup(w, ids.rows.reshape(-1), axis_name)
+                emb = all_to_all_lookup(w, rows.reshape(-1), axis_name)
                 emb = emb.reshape(b, l, -1)
             else:
-                emb = jnp.take(w, ids.rows, axis=0)        # (B, L, D)
+                emb = jnp.take(w, rows, axis=0)        # (B, L, D)
             if col.is_sequence:
                 emb = emb * ids.mask.astype(emb.dtype)[..., None]
                 out[key] = (emb, ids.mask.astype(bool))
@@ -203,11 +232,28 @@ class EmbeddingFeatures:
 
     def gather_raw(self, weights: Dict[str, jnp.ndarray],
                    batch: Dict[str, IdBatch]) -> Dict[str, jnp.ndarray]:
-        raw = {}
+        """One fused gather per storage array: concat every member column's
+        flat ids, take once, split back."""
+        per_storage: Dict[str, List[str]] = {}
         for key, col in self.columns.items():
             if key in batch:
-                raw[key] = jnp.take(weights[col.categorical_column.key],
-                                    batch[key].rows, axis=0)
+                skey, _, _ = self.table_map[col.categorical_column.key]
+                per_storage.setdefault(skey, []).append(key)
+        raw = {}
+        for skey, keys in per_storage.items():
+            flat_ids = []
+            for key in keys:
+                _, offset, _ = self.table_map[
+                    self.columns[key].categorical_column.key]
+                rows = batch[key].rows
+                flat_ids.append((rows + offset if offset else rows).reshape(-1))
+            gathered = jnp.take(weights[skey], jnp.concatenate(flat_ids), axis=0)
+            start = 0
+            for key, ids in zip(keys, flat_ids):
+                n = ids.shape[0]
+                b, l = batch[key].rows.shape
+                raw[key] = gathered[start:start + n].reshape(b, l, -1)
+                start += n
         return raw
 
     def combine_raw(self, raw: Dict[str, jnp.ndarray],
@@ -233,8 +279,10 @@ class EmbeddingFeatures:
             col = self.columns[key]
             ids = batch[key]
             d = g.shape[-1]
-            per_table.setdefault(col.categorical_column.key, []).append(
-                (ids.rows.reshape(-1), g.reshape(-1, d),
+            skey, offset, _ = self.table_map[col.categorical_column.key]
+            rows = ids.rows + offset if offset else ids.rows
+            per_table.setdefault(skey, []).append(
+                (rows.reshape(-1), g.reshape(-1, d),
                  ids.mask.reshape(-1).astype(jnp.float32)))
         out = {}
         for tkey, parts in per_table.items():
@@ -281,14 +329,15 @@ class EmbeddingFeatures:
     def row_counts(self, batch: Dict[str, IdBatch]) -> Dict[str, jnp.ndarray]:
         """Per-table appearance counts (rows, 1) — the 'show' statistic that
         drives lazy updates and feature_drop_show-style eviction."""
-        counts = {tkey: jnp.zeros((rows,), jnp.float32)
-                  for tkey, (rows, _) in self.tables.items()}
+        counts = {skey: jnp.zeros((rows,), jnp.float32)
+                  for skey, (rows, _) in self.storage.items()}
         for key, col in self.columns.items():
             if key not in batch:
                 continue
-            tkey = col.categorical_column.key
+            skey, offset, _ = self.table_map[col.categorical_column.key]
             ids = batch[key]
-            counts[tkey] = counts[tkey].at[ids.rows.reshape(-1)].add(
+            rows = ids.rows + offset if offset else ids.rows
+            counts[skey] = counts[skey].at[rows.reshape(-1)].add(
                 ids.mask.reshape(-1).astype(jnp.float32))
         return {k: v[:, None] for k, v in counts.items()}
 

@@ -83,7 +83,7 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
     cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
             for slot in cfg.sparse_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards)
+                            num_shards=num_shards, group_tables=True)
 
     return ModelBundle(
         name="autoint",

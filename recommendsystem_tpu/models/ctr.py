@@ -156,7 +156,7 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
     cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
             for slot in cfg.sparse_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards)
+                            num_shards=num_shards, group_tables=True)
 
     metrics = [M.binary_accuracy(), M.auc(), M.copc()]
     return ModelBundle(

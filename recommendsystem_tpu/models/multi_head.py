@@ -90,7 +90,7 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards)
+                            num_shards=num_shards, group_tables=True)
 
     return ModelBundle(
         name="multi_head",

@@ -123,7 +123,7 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in all_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards)
+                            num_shards=num_shards, group_tables=True)
 
     return ModelBundle(
         name="rough_rank",

@@ -184,7 +184,7 @@ def create_staytime(cfg: Optional[StaytimeConfig] = None,
     emb = EmbeddingFeatures(cols, SparseAdaGrad(learning_rate=sparse_lr,
                                                 initial_g2sum=0.1,
                                                 initial_scale=0.1),
-                            num_shards=num_shards)
+                            num_shards=num_shards, group_tables=True)
 
     return ModelBundle(
         name="staytime",

@@ -235,3 +235,83 @@ class TestScatterUpdatePath:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-7)
+
+
+class TestTableGrouping:
+    def _engines(self):
+        cols = []
+        for s in ("a", "b", "c"):
+            cat = category_column(s, 64)
+            cols.append(embedding_column(cat, 8, combiner="mean"))
+        cols.append(embedding_column(category_column("d", 32), 4, combiner="mean"))
+        flat = EmbeddingFeatures(list(cols), SparseAdam(learning_rate=0.01))
+        grouped = EmbeddingFeatures(list(cols), SparseAdam(learning_rate=0.01),
+                                    group_tables=True)
+        return flat, grouped
+
+    def _batch(self):
+        rng = np.random.default_rng(0)
+        batch = {}
+        for s in ("a", "b", "c"):
+            batch[s] = IdBatch(jnp.asarray(rng.integers(0, 64, (4, 3)), jnp.int32),
+                               jnp.ones((4, 3), jnp.float32))
+        batch["d"] = IdBatch(jnp.asarray(rng.integers(0, 32, (4, 3)), jnp.int32),
+                             jnp.ones((4, 3), jnp.float32))
+        return batch
+
+    def test_storage_layout(self):
+        _, grouped = self._engines()
+        assert set(grouped.storage) == {"group_64x8", "d"}
+        assert grouped.storage["group_64x8"] == (64 * 3, 8)
+
+    def test_lookup_matches_flat(self):
+        flat, grouped = self._engines()
+        batch = self._batch()
+        sf = flat.init(jax.random.PRNGKey(0))
+        sg = grouped.init(jax.random.PRNGKey(1))
+        # copy flat tables into the grouped storage to compare numerics
+        for tkey in ("a", "b", "c"):
+            skey, off, rows = grouped.table_map[tkey]
+            sg[skey]["w"] = sg[skey]["w"].at[off:off + rows].set(sf[tkey]["w"])
+        sg["d"]["w"] = sf["d"]["w"]
+        of = flat.lookup(flat.weights(sf), batch)
+        og = grouped.lookup(grouped.weights(sg), batch)
+        for k in of:
+            np.testing.assert_allclose(np.asarray(og[k]), np.asarray(of[k]),
+                                       rtol=1e-6)
+        # gather_raw path too (fused single take per group)
+        rf = flat.gather_raw(flat.weights(sf), batch)
+        rg = grouped.gather_raw(grouped.weights(sg), batch)
+        for k in rf:
+            np.testing.assert_allclose(np.asarray(rg[k]), np.asarray(rf[k]),
+                                       rtol=1e-6)
+
+    def test_scatter_training_step_matches_flat(self):
+        flat, grouped = self._engines()
+        batch = self._batch()
+        sf = flat.init(jax.random.PRNGKey(0))
+        sg = grouped.init(jax.random.PRNGKey(1))
+        for tkey in ("a", "b", "c"):
+            skey, off, rows = grouped.table_map[tkey]
+            sg[skey]["w"] = sg[skey]["w"].at[off:off + rows].set(sf[tkey]["w"])
+        sg["d"]["w"] = sf["d"]["w"]
+
+        def run(eng, state):
+            raw = eng.gather_raw(eng.weights(state), batch)
+            def loss(r):
+                out = eng.combine_raw(r, batch)
+                return sum(jnp.sum(v ** 2) for v in out.values())
+            graw = jax.grad(loss)(raw)
+            return eng.apply_gradients_scatter(
+                state, eng.flatten_raw_grads(graw, batch))
+
+        nf = run(flat, sf)
+        ng = run(grouped, sg)
+        for tkey in ("a", "b", "c"):
+            skey, off, rows = grouped.table_map[tkey]
+            np.testing.assert_allclose(
+                np.asarray(ng[skey]["w"][off:off + rows]),
+                np.asarray(nf[tkey]["w"]), rtol=1e-5, atol=1e-7, err_msg=tkey)
+            np.testing.assert_allclose(
+                np.asarray(ng[skey]["show"][off:off + rows]),
+                np.asarray(nf[tkey]["show"]), err_msg=tkey)
