@@ -172,6 +172,33 @@ def bench_model(name: str, batch: int, steps: int = 20, **kwargs) -> float:
     return rate
 
 
+def bench_predict(name: str, batch: int, steps: int = 50, **kwargs) -> float:
+    """Serving-path throughput: jitted predict step (lookup + dense tower)."""
+    import jax
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.train import create_train_state
+    from recommendsystem_tpu.train.step import make_predict_step
+
+    bundle = create_model(name, **kwargs)
+    b, dense, labels, weight = synthetic_batch(bundle, batch, seed=0)
+    b = jax.device_put(b)
+    dense = jax.device_put(dense) if dense is not None else None
+    state = create_train_state(bundle, jax.random.PRNGKey(0), b, dense)
+    step = make_predict_step(bundle)
+    out = step(state, b, dense)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = step(state, b, dense)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rate = batch * steps / dt
+    log(f"{name} predict: {steps} x {batch} in {dt:.3f}s -> {rate:,.0f} ex/s"
+        f" ({dt / steps * 1e6:.0f} us/batch)")
+    return rate
+
+
 def bench_all():
     from recommendsystem_tpu.models.staytime import StaytimeConfig
     bench_model("ctr", 4096, bucket_size=265000)

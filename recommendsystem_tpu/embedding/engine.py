@@ -103,11 +103,15 @@ class EmbeddingFeatures:
 
     def __init__(self, embedding_columns: List[EmbeddingColumn], sparse_opt,
                  name: str = "sparse_emb_input", num_shards: int = 1,
-                 group_tables: bool = False):
+                 group_tables: bool = False, table_dtype=jnp.float32):
         self.name = name
         self.sparse_opt = sparse_opt
         self.num_shards = num_shards
         self.group_tables = group_tables
+        # bf16 table storage halves gather bandwidth + table memory; all
+        # arithmetic (combine, optimizer) stays fp32, values round-trip
+        # through the storage dtype on write
+        self.table_dtype = table_dtype
         self.columns: Dict[str, EmbeddingColumn] = {}
         self.tables: Dict[str, Tuple[int, int]] = {}   # table_key -> (rows, dim)
         for col in embedding_columns:
@@ -158,7 +162,8 @@ class EmbeddingFeatures:
         for skey, (rows, dim) in sorted(self.storage.items()):
             rng, sub = jax.random.split(rng)
             state[skey] = {
-                "w": self.sparse_opt.table_init(sub, (rows, dim)),
+                "w": self.sparse_opt.table_init(sub, (rows, dim),
+                                                dtype=self.table_dtype),
                 "opt": self.sparse_opt.init_state((rows, dim)),
                 "show": jnp.zeros((rows, 1), jnp.float32),
             }
@@ -197,6 +202,7 @@ class EmbeddingFeatures:
                 emb = emb.reshape(b, l, -1)
             else:
                 emb = jnp.take(w, rows, axis=0)        # (B, L, D)
+            emb = emb.astype(jnp.float32)
             if col.is_sequence:
                 emb = emb * ids.mask.astype(emb.dtype)[..., None]
                 out[key] = (emb, ids.mask.astype(bool))
@@ -247,7 +253,8 @@ class EmbeddingFeatures:
                     self.columns[key].categorical_column.key]
                 rows = batch[key].rows
                 flat_ids.append((rows + offset if offset else rows).reshape(-1))
-            gathered = jnp.take(weights[skey], jnp.concatenate(flat_ids), axis=0)
+            gathered = jnp.take(weights[skey], jnp.concatenate(flat_ids),
+                                axis=0).astype(jnp.float32)
             start = 0
             for key, ids in zip(keys, flat_ids):
                 n = ids.shape[0]
@@ -308,14 +315,18 @@ class EmbeddingFeatures:
             count_u = jnp.zeros((n,), jnp.float32).at[inv].add(mask)[:, None]
             valid = (count_u > 0).astype(jnp.float32)
 
-            w_rows = jnp.take(tstate["w"], u_rows, axis=0)
+            w_rows = jnp.take(tstate["w"], u_rows, axis=0).astype(jnp.float32)
             opt_rows = jax.tree.map(lambda s: jnp.take(s, u_rows, axis=0),
                                     tstate["opt"])
             w_new, opt_new = self.sparse_opt.update_rows(w_rows, grad_u,
                                                          opt_rows, valid)
+            w_new = w_new.astype(tstate["w"].dtype)
+            w_rows = w_rows.astype(tstate["w"].dtype)
             # delta-add scatter: fill-slot duplicates contribute zero, so the
             # unspecified scatter order cannot corrupt row 0
-            w = tstate["w"].at[u_rows].add(valid * (w_new - w_rows))
+            delta = (valid * (w_new.astype(jnp.float32)
+                              - w_rows.astype(jnp.float32))).astype(tstate["w"].dtype)
+            w = tstate["w"].at[u_rows].add(delta)
             opt = jax.tree.map(
                 lambda s, s_rows, s_new: s.at[u_rows].add(
                     valid * (s_new - s_rows)),
@@ -351,7 +362,9 @@ class EmbeddingFeatures:
                 new_state[tkey] = tstate
                 continue
             row_mask = (counts[tkey] > 0).astype(jnp.float32)
-            w, opt = self.sparse_opt.update(tstate["w"], g, tstate["opt"], row_mask)
+            w, opt = self.sparse_opt.update(tstate["w"].astype(jnp.float32),
+                                            g, tstate["opt"], row_mask)
+            w = w.astype(tstate["w"].dtype)
             new_state[tkey] = {"w": w, "opt": opt,
                                "show": tstate["show"] + counts[tkey]}
         return new_state

@@ -34,10 +34,11 @@ class SparseAdam:
             "t": jnp.zeros((shape[0], 1), jnp.float32),
         }
 
-    def table_init(self, rng, shape):
+    def table_init(self, rng, shape, dtype=jnp.float32):
         # TF embedding_column default: truncated_normal(stddev=1/sqrt(dim)).
-        return jax.random.truncated_normal(rng, -2.0, 2.0, shape,
-                                           jnp.float32) / (shape[1] ** 0.5)
+        w = jax.random.truncated_normal(rng, -2.0, 2.0, shape,
+                                        jnp.float32) / (shape[1] ** 0.5)
+        return w.astype(dtype)
 
     def update(self, w, grad, state, row_mask):
         t = state["t"] + row_mask
@@ -80,9 +81,10 @@ class SparseAdaGrad:
         # scalar accumulator per row (parameter-server AdaGrad flavour)
         return {"g2sum": jnp.full((shape[0], 1), self.initial_g2sum, jnp.float32)}
 
-    def table_init(self, rng, shape):
+    def table_init(self, rng, shape, dtype=jnp.float32):
         return jax.random.uniform(rng, shape, jnp.float32,
-                                  -self.initial_scale, self.initial_scale)
+                                  -self.initial_scale,
+                                  self.initial_scale).astype(dtype)
 
     def update(self, w, grad, state, row_mask):
         g2 = jnp.mean(jnp.square(grad), axis=-1, keepdims=True)

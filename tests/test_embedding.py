@@ -315,3 +315,44 @@ class TestTableGrouping:
             np.testing.assert_allclose(
                 np.asarray(ng[skey]["show"][off:off + rows]),
                 np.asarray(nf[tkey]["show"]), err_msg=tkey)
+
+
+class TestBf16Tables:
+    def test_lookup_and_training_in_bf16_storage(self):
+        cat = category_column("f1", 64)
+        cols = [embedding_column(cat, 8, combiner="mean")]
+        eng = EmbeddingFeatures(cols, SparseAdam(learning_rate=0.05),
+                                table_dtype=jnp.bfloat16)
+        state = eng.init(jax.random.PRNGKey(0))
+        assert state["f1"]["w"].dtype == jnp.bfloat16
+        assert state["f1"]["opt"]["m"].dtype == jnp.float32  # fp32 opt state
+
+        rows = jnp.array([[3, 9, 0, 0]], jnp.int32)
+        mask = jnp.array([[1, 1, 0, 0]], jnp.float32)
+        batch = {"f1": IdBatch(rows, mask)}
+        out = eng.lookup(eng.weights(state), batch)["f1"]
+        assert out.dtype == jnp.float32  # compute dtype
+
+        # scatter training step moves only touched rows, in storage dtype
+        raw = eng.gather_raw(eng.weights(state), batch)
+        assert raw["f1"].dtype == jnp.float32
+        graw = jax.grad(lambda r: jnp.sum(eng.combine_raw(r, batch)["f1"] ** 2))(raw)
+        new = eng.apply_gradients_scatter(state, eng.flatten_raw_grads(graw, batch))
+        assert new["f1"]["w"].dtype == jnp.bfloat16
+        w0 = np.asarray(state["f1"]["w"].astype(jnp.float32))
+        w1 = np.asarray(new["f1"]["w"].astype(jnp.float32))
+        changed = np.abs(w1 - w0).sum(1) > 0
+        assert changed[3] and changed[9] and changed.sum() == 2
+
+    def test_dense_path_bf16(self):
+        cat = category_column("f1", 32)
+        eng = EmbeddingFeatures([embedding_column(cat, 8, combiner="mean")],
+                                SparseAdaGrad(learning_rate=0.05),
+                                table_dtype=jnp.bfloat16)
+        state = eng.init(jax.random.PRNGKey(0))
+        batch = {"f1": IdBatch(jnp.array([[1, 2]], jnp.int32),
+                               jnp.ones((1, 2), jnp.float32))}
+        g = jax.grad(lambda w: jnp.sum(eng.lookup(w, batch)["f1"] ** 2))(
+            jax.tree.map(lambda x: x, eng.weights(state)))
+        new = eng.apply_gradients(state, g, eng.row_counts(batch))
+        assert new["f1"]["w"].dtype == jnp.bfloat16
