@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
 
+# TF parity tests: oneDNN kernels corrupt/abort 4-D matmuls when JAX-CPU is
+# active in the same process — must be off before ANY test imports tensorflow
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
