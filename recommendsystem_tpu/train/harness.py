@@ -26,13 +26,15 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
         mode: str = "local", log_every: int = 100,
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
         resume: bool = False, profile_dir: Optional[str] = None,
-        profile_steps: tuple = (10, 20), callbacks=()) -> TrainState:
+        profile_steps: tuple = (10, 20), history_path: Optional[str] = None,
+        callbacks=()) -> TrainState:
     """``dataset`` yields (batch, dense_inputs, labels, sample_weight).
 
     ``resume=True`` restores the latest checkpoint under ``checkpoint_dir``
     before training (crash recovery).  ``profile_dir`` captures an XLA/TPU
-    profiler trace over ``profile_steps`` (reference has no tracing at all —
-    SURVEY §5).
+    profiler trace over ``profile_steps``; ``history_path`` appends one JSON
+    line per ``log_every`` steps (step, losses, examples/s) — the training
+    observability the reference lacks entirely (SURVEY §5).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(bundle, mesh=mesh, mode=mode)
@@ -84,6 +86,12 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
             info = jax.device_get(info)
             rate = seen / (time.time() - t0)
             log.info("step %d loss=%.5f examples/s=%.1f", i, info["loss"], rate)
+            if history_path:
+                import json
+                rec = {"step": int(state.step), "examples_per_sec": round(rate, 1)}
+                rec.update({k: float(v) for k, v in info.items()})
+                with open(history_path, "a") as hf:
+                    hf.write(json.dumps(rec) + "\n")
         if checkpoint_dir and checkpoint_every and i % checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, state)
         for cb in callbacks:
