@@ -1,0 +1,156 @@
+"""Minimal online scoring service.
+
+The reference's serving side consumes named output tensors from the exported
+dense graph (SURVEY §1 L6).  This module closes the loop as a runnable
+service: load a ModelBundle + checkpoint, accept JSON rows of RAW feasigns
+(the wire format the reference's samples carry), hash/pad on host, run the
+jitted predict step, return the named scores.
+
+    python -m recommendsystem_tpu.serving.server \
+        --model finish --checkpoint /ckpt/ckpt --port 8000
+
+    POST /score  {"rows": [{"3000": [123456789], ...}, ...]}
+    ->           {"scores": {"<task>": [..]}, "batch": N}
+
+Requests are padded to the compiled batch size (fixed shapes on TPU); the
+stdlib HTTP server keeps the dependency surface zero — swap in any ASGI
+front at deployment, the ``ScoringService`` API is the contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..embedding.engine import IdBatch
+from ..models import create_model
+from ..models.base import ModelBundle
+from ..train.checkpoint import restore_checkpoint
+from ..train.state import TrainState, create_train_state
+from ..train.step import make_predict_step
+
+log = logging.getLogger("recommendsystem_tpu.serving")
+
+
+class ScoringService:
+    def __init__(self, bundle: ModelBundle, state: TrainState,
+                 max_batch: int = 256, ids_per_feature: int = 5):
+        self.bundle = bundle
+        self.state = state
+        self.max_batch = max_batch
+        self.ids_per_feature = ids_per_feature
+        self._predict = make_predict_step(bundle)
+
+    def _make_batch(self, rows: List[Dict[str, List[int]]]) -> Dict[str, IdBatch]:
+        from ..data.parse import pad_ids
+        batch = {}
+        for key, col in self.bundle.embedding.columns.items():
+            fkey = col.categorical_column.key
+            values = [r.get(fkey, []) for r in rows]
+            # pad the request up to the compiled batch size
+            values += [[]] * (self.max_batch - len(values))
+            max_len = col.seq_max_len if col.is_sequence else self.ids_per_feature
+            batch[key] = pad_ids(values, max_len, col.categorical_column.hash_ids)
+        return batch
+
+    def score(self, rows: List[Dict[str, List[int]]],
+              dense: Optional[Dict[str, List[float]]] = None
+              ) -> Dict[str, List[float]]:
+        if not rows:
+            return {}
+        if len(rows) > self.max_batch:
+            raise ValueError(f"batch {len(rows)} exceeds max_batch {self.max_batch}")
+        batch = self._make_batch(rows)
+        dense_inputs = None
+        if self.bundle.dense_input_keys:
+            dense_inputs = {}
+            for k in self.bundle.dense_input_keys:
+                col = [(d or {}).get(k, 0.0) for d in (dense or [{}] * len(rows))]
+                col += [0.0] * (self.max_batch - len(col))
+                dense_inputs[k] = np.asarray(col, np.float32).reshape(-1, 1)
+        out = jax.device_get(self._predict(self.state, batch, dense_inputs))
+        n = len(rows)
+        return {task: np.asarray(v)[:n].reshape(n, -1)[:, 0].tolist()
+                for task, v in out.items()}
+
+
+def _make_handler(service: ScoringService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            log.debug(fmt, *args)
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "model": service.bundle.name,
+                                  "step": int(service.state.step)})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                rows = req.get("rows", [])
+                scores = service.score(rows, req.get("dense"))
+                self._reply(200, {"scores": scores, "batch": len(rows)})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:   # malformed payloads must not kill serving
+                log.exception("score failed")
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(service: ScoringService, port: int = 8000, host: str = "127.0.0.1"):
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    log.info("scoring %s on %s:%d", service.bundle.name, host, port)
+    return httpd
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="online scoring service")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--bucket-size", type=int, default=None)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, force=True)
+    kwargs = {}
+    if args.bucket_size:
+        kwargs["bucket_size"] = args.bucket_size
+    bundle = create_model(args.model, **kwargs)
+
+    from ..data import synthetic_batch
+    batch, dense, _, _ = synthetic_batch(bundle, args.max_batch, seed=0)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch, dense)
+    if args.checkpoint:
+        state = restore_checkpoint(args.checkpoint, state)
+        log.info("restored checkpoint at step %d", int(state.step))
+
+    service = ScoringService(bundle, state, max_batch=args.max_batch)
+    serve(service, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,9 @@ def main(argv=None):
     ap.add_argument("--max-days", type=int, default=30)
     ap.add_argument("--predict-out", default=None)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--evict-min-show", type=float, default=-1.0,
+                    help="after each day, zero table rows seen fewer than "
+                         "this many times (feature_drop_show analog; -1 off)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, force=True)
@@ -105,6 +108,10 @@ def main(argv=None):
         state = fit(bundle, ds, state=state, log_every=args.log_every,
                     checkpoint_dir=ckpt_dir,
                     resume=(state is None))
+        if args.evict_min_show >= 0:
+            state.tables = bundle.embedding.evict(state.tables,
+                                                  args.evict_min_show)
+            log.info("evicted rows with show < %s", args.evict_min_show)
         save_checkpoint(ckpt_dir, state)
         write_marker(args.state_dir, day)
         log.info("day %s done at step %d", day, int(state.step))

@@ -1,0 +1,79 @@
+"""Scoring service tests: HTTP surface, padding, error handling."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from recommendsystem_tpu.data import synthetic_batch
+from recommendsystem_tpu.models import create_model
+from recommendsystem_tpu.serving import ScoringService, serve
+from recommendsystem_tpu.train import create_train_state
+
+
+@pytest.fixture(scope="module")
+def service():
+    bundle = create_model("finish", bucket_size=256,
+                          slots=[str(s) for s in range(3000, 3012)])
+    batch, dense, _, _ = synthetic_batch(bundle, 16, seed=0)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+    return ScoringService(bundle, state, max_batch=16)
+
+
+def test_score_direct(service):
+    rows = [{str(s): [int(s) * 7 + i] for s in range(3000, 3012)}
+            for i in range(3)]
+    out = service.score(rows)
+    task = "video_id_rank_finish_nb_lr_rongh_bundle"
+    assert len(out[task]) == 3
+    assert all(0.0 < v < 1.0 for v in out[task])
+    # padding must not change real rows' scores
+    out1 = service.score(rows[:1])
+    np.testing.assert_allclose(out1[task][0], out[task][0], rtol=1e-6)
+
+
+def test_score_missing_features_ok(service):
+    out = service.score([{}])      # no features -> zero embeddings
+    assert len(next(iter(out.values()))) == 1
+
+
+def test_oversize_batch_rejected(service):
+    with pytest.raises(ValueError):
+        service.score([{}] * 17)
+
+
+def test_http_roundtrip(service):
+    httpd = serve(service, port=0)        # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["model"] == "finish"
+
+        rows = [{str(s): [5]} for s in (3000,)]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"rows": rows}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        assert resp["batch"] == 1
+        assert len(resp["scores"]) == 1
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(f"http://127.0.0.1:{port}/score",
+                                     data=b"not json{")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        httpd.shutdown()
