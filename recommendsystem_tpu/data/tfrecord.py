@@ -13,7 +13,6 @@ loader in ``native/`` does checksummed reads at full rate).
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import Iterable, Iterator, List, Optional
 

@@ -19,16 +19,14 @@ replicated tables) uses a plain gather.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
 from .feature_column import EmbeddingColumn
-from .optimizers import SparseAdaGrad, SparseAdam
 
 
 @jax.tree_util.register_dataclass

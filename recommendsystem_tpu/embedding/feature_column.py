@@ -16,7 +16,7 @@ keeping the device path static-shaped and int32-native.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

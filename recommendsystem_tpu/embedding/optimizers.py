@@ -12,7 +12,7 @@ parameter-server semantics of pushing sparse grads (SURVEY §2.8).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ consumed from model_parameter.json).  Output name kept:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,9 +14,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import sys
-
-import numpy as np
 
 MERGE_LABEL_THRESHOLDS = {   # gaussian_process.py:390-402
     "comment": 0.00149,

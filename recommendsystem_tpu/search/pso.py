@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import math
 import random
-import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -21,15 +21,12 @@ import logging
 import os
 from typing import Optional
 
-import jax
-
 from ..data.loader import balance_batches, dataset_reader
 from ..data.parse import make_ctr_parse_fn, make_staytime_parse_fn
 from ..models import create_model
 from ..utils.dates import trained_delta_days
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import save_checkpoint
 from .harness import dump_predict, fit
-from .state import create_train_state
 
 log = logging.getLogger("recommendsystem_tpu.daily")
 

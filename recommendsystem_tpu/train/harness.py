@@ -6,10 +6,9 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Dict, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import ModelBundle
@@ -27,14 +26,16 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
         resume: bool = False, profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 20), history_path: Optional[str] = None,
-        callbacks=()) -> TrainState:
+        nan_guard: str = "warn", callbacks=()) -> TrainState:
     """``dataset`` yields (batch, dense_inputs, labels, sample_weight).
 
     ``resume=True`` restores the latest checkpoint under ``checkpoint_dir``
     before training (crash recovery).  ``profile_dir`` captures an XLA/TPU
     profiler trace over ``profile_steps``; ``history_path`` appends one JSON
     line per ``log_every`` steps (step, losses, examples/s) — the training
-    observability the reference lacks entirely (SURVEY §5).
+    observability the reference lacks entirely (SURVEY §5).  ``nan_guard``
+    ('off'|'warn'|'raise') checks loss finiteness at each log point (checked
+    there rather than every step to avoid a per-step device sync).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(bundle, mesh=mesh, mode=mode)
@@ -86,6 +87,11 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
             info = jax.device_get(info)
             rate = seen / (time.time() - t0)
             log.info("step %d loss=%.5f examples/s=%.1f", i, info["loss"], rate)
+            if nan_guard != "off" and not np.isfinite(info["loss"]):
+                msg = f"non-finite loss {info['loss']} at step {i}"
+                if nan_guard == "raise":
+                    raise FloatingPointError(msg)
+                log.warning(msg)
             if history_path:
                 import json
                 rec = {"step": int(state.step), "examples_per_sec": round(rate, 1)}

@@ -7,7 +7,6 @@ Sources: ``rank/ctr/base_model.py:7-12``, ``rank/multi_head/model.py:18-22``,
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 K_EPSILON = 1e-7   # tf.keras.backend.epsilon()

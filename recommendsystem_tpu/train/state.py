@@ -12,7 +12,6 @@ import dataclasses
 from typing import Any, Dict
 
 import jax
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS

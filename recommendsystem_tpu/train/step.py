@@ -11,18 +11,15 @@ embedding engine (the PS push contract).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..core.mesh import DATA_AXIS
-from ..embedding.engine import IdBatch
 from ..models.base import ModelBundle
 from . import metrics as M
-from .state import TrainState, state_shardings
+from .state import TrainState
 
 
 def _weighted_task_loss(loss_fn, y, pred, sample_weight):

@@ -182,3 +182,13 @@ class TestServingExport:
         for t in want:
             np.testing.assert_allclose(np.asarray(got[t]), np.asarray(want[t]),
                                        rtol=1e-5)
+
+
+class TestNanGuard:
+    def test_raise_on_nonfinite_loss(self):
+        bundle = create_model("autoint", bucket_size=256)
+        batch, dense, labels, w = synthetic_batch(bundle, 16)
+        labels = {k: v * np.nan for k, v in labels.items()}
+        with pytest.raises(FloatingPointError):
+            fit(bundle, [(batch, None, labels, w)] * 2, log_every=1,
+                nan_guard="raise")
