@@ -26,8 +26,8 @@ FIELDS = 24
 EMB_DIM = 8
 IDS_PER_FEATURE = 5
 BUCKET = 265000
-STEPS = 30
-WARMUP = 5
+STEPS = 100
+WARMUP = 10
 
 
 def log(*a):

@@ -29,8 +29,8 @@ class Reader:
                 ok, row = self.parse_line(line)
                 if ok:
                     out.append(row)
-        print("Reader file: %s has rows: %s with sample_rate: %s, elapse %s s"
-              % (self.filename, len(out), sample_rate, round(time.time() - s, 5)))
+        print("parsed %d rows from %s (sample_rate=%s, %.3fs)"
+              % (len(out), self.filename, sample_rate, time.time() - s))
         return out
 
     # keep the reference's camelCase entry too
