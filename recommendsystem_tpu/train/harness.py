@@ -135,21 +135,36 @@ def predict(bundle: ModelBundle, dataset: Iterable, state: TrainState,
 
 def dump_predict(bundle: ModelBundle, dataset: Iterable, state: TrainState,
                  path: str, mode: str = "local",
-                 example_id_key: str = "example_id") -> int:
+                 example_id_key: str = "example_id",
+                 need_y: bool = False) -> int:
     """Write ``example_id \\t task=score...`` TSV (the dump_predict util the
-    reference imports from its absent platform, ``rank/multi_head/model.py:9``)."""
+    reference imports from its absent platform, ``rank/multi_head/model.py:9``).
+
+    ``need_y=True`` appends the per-task labels after the scores — the
+    reference's debug ``model_whit_input`` variant
+    (``rank/multi_head/multidnn.py:252-258``).
+    """
     n = 0
     tasks = None
+    dataset = list(dataset) if need_y else dataset
+    label_iter = iter(dataset)
     with open(path, "w") as f:
         for ids, outputs in predict(bundle, dataset, state, mode=mode,
                                     example_id_key=example_id_key):
             if tasks is None:
                 tasks = sorted(outputs.keys())
+            labels = None
+            if need_y:
+                item = next(label_iter)
+                labels = item[2]
             batch_n = len(next(iter(outputs.values())))
             for row in range(batch_n):
                 eid = ids[row] if ids is not None else n
                 cols = [str(eid)] + ["%.6g" % float(np.ravel(outputs[t][row])[0])
                                      for t in tasks]
+                if labels is not None:
+                    cols += ["%.6g" % float(np.ravel(labels[t][row])[-1])
+                             for t in tasks if t in labels]
                 f.write("\t".join(cols) + "\n")
                 n += 1
     return n

@@ -192,3 +192,15 @@ class TestNanGuard:
         with pytest.raises(FloatingPointError):
             fit(bundle, [(batch, None, labels, w)] * 2, log_every=1,
                 nan_guard="raise")
+
+
+def test_dump_predict_need_y(tmp_path):
+    bundle = create_model("autoint", bucket_size=256)
+    batch, dense, labels, w = synthetic_batch(bundle, 4)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+    out = str(tmp_path / "preds_y.tsv")
+    n = dump_predict(bundle, [(batch, None, labels, w)], state, out, need_y=True)
+    lines = [l.split("\t") for l in open(out).read().strip().split("\n")]
+    assert n == 4 and all(len(l) == 3 for l in lines)   # id, score, label
+    for i, l in enumerate(lines):
+        assert float(l[2]) == float(labels["video_id_rank_skip_model"][i, 0])
