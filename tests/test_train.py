@@ -204,3 +204,23 @@ def test_dump_predict_need_y(tmp_path):
     assert n == 4 and all(len(l) == 3 for l in lines)   # id, score, label
     for i, l in enumerate(lines):
         assert float(l[2]) == float(labels["video_id_rank_skip_model"][i, 0])
+
+
+def test_evaluate_gauc():
+    from recommendsystem_tpu.train.gauc_eval import evaluate_gauc
+    bundle = create_model("autoint", bucket_size=512,
+                          sparse_lr=5e-2, dense_lr=1e-2)
+    state = fit(bundle, dataset(bundle, 40), log_every=0)
+
+    def ds_with_users():
+        rng = np.random.default_rng(0)
+        for i in range(6):
+            b, d, l, w = synthetic_batch(bundle, 64, seed=500 + i)
+            users = rng.integers(0, 8, 64)    # 8 users -> multi-impression groups
+            yield b, d, l, w, {"user_id": users}
+
+    gaucs = evaluate_gauc(bundle, ds_with_users(), state)
+    g = gaucs["video_id_rank_skip_model"]
+    assert 0.45 < g <= 1.0
+    # trained model should group-rank better than random on planted signal
+    assert g > 0.55, f"GAUC {g}"
