@@ -21,12 +21,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
-BATCH = 4096
+BATCH = 65536   # large-batch production regime: saturates HBM bandwidth
 FIELDS = 24
 EMB_DIM = 8
 IDS_PER_FEATURE = 5
 BUCKET = 265000
-STEPS = 100
+STEPS = 50
 WARMUP = 10
 
 
