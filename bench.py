@@ -200,12 +200,11 @@ def bench_predict(name: str, batch: int, steps: int = 50, **kwargs) -> float:
 
 
 def bench_all():
-    from recommendsystem_tpu.models.staytime import StaytimeConfig
-    bench_model("ctr", 4096, bucket_size=265000)
-    bench_model("multi_head", 4096, bucket_size=265000)
-    bench_model("finish", 4096, bucket_size=25600)
-    bench_model("rough_rank", 4096, bucket_size=25600)
-    bench_model("staytime", 2048, cfg=StaytimeConfig())
+    bench_model("ctr", 32768, bucket_size=265000)
+    bench_model("multi_head", 32768, bucket_size=265000)
+    bench_model("finish", 32768, bucket_size=25600)
+    bench_model("rough_rank", 32768, bucket_size=25600)
+    bench_model("staytime", 16384, steps=10)
 
 
 def main():
