@@ -9,6 +9,7 @@ category hash.
 
 from __future__ import annotations
 
+import struct
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -19,7 +20,15 @@ from .staytime_labels import staytime_labels
 
 
 def decode_batch(raw_batch: Sequence[bytes]) -> List[dict]:
-    return [decode_example(r) for r in raw_batch]
+    """Decode a record batch, skipping malformed protos (the reference's
+    robustness posture: bad rows are dropped, ``pso/reader.py:23``)."""
+    out: List[dict] = []
+    for r in raw_batch:
+        try:
+            out.append(decode_example(r))
+        except (IndexError, ValueError, struct.error):
+            out.append({})     # keep batch shape; empty features -> zero embs
+    return out
 
 
 def pad_ids(values: List[List[int]], max_len: int, hash_fn) -> IdBatch:

@@ -72,6 +72,7 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
                    model_param: Optional[dict] = None,
                    bucket_size: int = 265000,
                    num_shards: int = 1,
+                   table_dtype=None,
                    sparse_lr: float = 5e-5,
                    dense_lr: float = 5e-5) -> ModelBundle:
     """LRs per the reference: sparse/dense Adam 5e-5 (``base_model.py:163,192``)."""
@@ -83,7 +84,8 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
     cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
             for slot in cfg.sparse_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards, group_tables=True)
+                            num_shards=num_shards, group_tables=True,
+                            **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
         name="autoint",

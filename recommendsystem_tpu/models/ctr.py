@@ -143,6 +143,7 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
                gate_slots: Optional[Tuple[str, ...]] = None,
                bucket_size: int = 265000,
                num_shards: int = 1,
+               table_dtype=None,
                sparse_lr: float = 5e-5,
                dense_lr: float = 5e-5) -> ModelBundle:
     if cfg is None:
@@ -156,7 +157,8 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
     cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
             for slot in cfg.sparse_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards, group_tables=True)
+                            num_shards=num_shards, group_tables=True,
+                            **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     metrics = [M.binary_accuracy(), M.auc(), M.copc()]
     return ModelBundle(

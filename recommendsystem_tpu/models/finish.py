@@ -76,6 +76,7 @@ def create_finish(slots: Optional[Sequence[str]] = None,
                   dim: int = 32,
                   deep_hidden_units: Tuple[int, ...] = (64, 32),
                   num_shards: int = 1,
+                  table_dtype=None,
                   sparse_lr: float = 1e-3,
                   dense_lr: float = 1e-3) -> ModelBundle:
     if slots is None:
@@ -88,7 +89,8 @@ def create_finish(slots: Optional[Sequence[str]] = None,
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards, group_tables=True)
+                            num_shards=num_shards, group_tables=True,
+                            **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
         name="finish",

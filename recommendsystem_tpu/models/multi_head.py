@@ -81,6 +81,7 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
                       bucket_size: int = 265000,
                       dim: int = 8,
                       num_shards: int = 1,
+                      table_dtype=None,
                       sparse_lr: float = 5e-5,
                       dense_lr: float = 1e-5) -> ModelBundle:
     if slots is None:
@@ -90,7 +91,8 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards, group_tables=True)
+                            num_shards=num_shards, group_tables=True,
+                            **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
         name="multi_head",

@@ -112,6 +112,7 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
                       bucket_size: int = 25600,
                       dim: int = 16,
                       num_shards: int = 1,
+                      table_dtype=None,
                       sparse_lr: float = 1e-3,
                       dense_lr: float = 1e-4) -> ModelBundle:
     if user_slots is None:
@@ -123,7 +124,8 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in all_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
-                            num_shards=num_shards, group_tables=True)
+                            num_shards=num_shards, group_tables=True,
+                            **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
         name="rough_rank",

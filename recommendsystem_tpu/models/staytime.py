@@ -169,6 +169,7 @@ class StaytimeModule(nn.Module):
 def create_staytime(cfg: Optional[StaytimeConfig] = None,
                     deep_hidden_units: Tuple[int, ...] = (256, 128),
                     num_shards: int = 1,
+                    table_dtype=None,
                     sparse_lr: float = 5e-3,
                     dense_lr: float = 5e-4) -> ModelBundle:
     cfg = cfg or StaytimeConfig()
@@ -184,7 +185,8 @@ def create_staytime(cfg: Optional[StaytimeConfig] = None,
     emb = EmbeddingFeatures(cols, SparseAdaGrad(learning_rate=sparse_lr,
                                                 initial_g2sum=0.1,
                                                 initial_scale=0.1),
-                            num_shards=num_shards, group_tables=True)
+                            num_shards=num_shards, group_tables=True,
+                            **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
         name="staytime",

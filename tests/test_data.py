@@ -201,3 +201,15 @@ class TestBalanceBatches:
         assert b2["f"].shape == (8, 2)
         assert w2.shape == (8, 1)
         assert w2[:5].sum() == 5 and w2[5:].sum() == 0   # pad rows weightless
+
+
+class TestMalformedRecords:
+    def test_decode_batch_skips_garbage(self):
+        import os
+        from recommendsystem_tpu.data.parse import decode_batch
+        good = encode_example({"5": [1, 2]})
+        rng_bytes = [os.urandom(37) for _ in range(20)]
+        out = decode_batch([good] + rng_bytes + [good])
+        assert out[0] == {"5": [1, 2]} and out[-1] == {"5": [1, 2]}
+        assert len(out) == 22           # malformed rows kept as empty dicts
+        assert all(isinstance(d, dict) for d in out)

@@ -224,3 +224,18 @@ def test_evaluate_gauc():
     assert 0.45 < g <= 1.0
     # trained model should group-rank better than random on planted signal
     assert g > 0.55, f"GAUC {g}"
+
+
+def test_bf16_tables_preserve_learning():
+    """bf16 table storage (opt-in) must not materially change learnability."""
+    aucs = {}
+    for dtype_name, dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
+        kwargs = {"table_dtype": dtype} if dtype is not None else {}
+        bundle = create_model("finish", bucket_size=512,
+                              sparse_lr=5e-2, dense_lr=1e-2, **kwargs)
+        state = fit(bundle, dataset(bundle, 40), log_every=0)
+        m = evaluate(bundle, dataset(bundle, 6, seed0=2000), state)
+        aucs[dtype_name] = float(
+            m["video_id_rank_finish_nb_lr_rongh_bundle"]["auc"])
+    assert aucs["bf16"] > 0.6
+    assert abs(aucs["bf16"] - aucs["fp32"]) < 0.05, aucs
