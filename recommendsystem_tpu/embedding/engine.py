@@ -48,10 +48,6 @@ def pad_bucket(bucket_size: int, n_shards: int) -> int:
     return ((bucket_size + n_shards - 1) // n_shards) * n_shards
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
 def all_to_all_lookup(w_local: jnp.ndarray, flat_rows: jnp.ndarray,
                       axis_name: str) -> jnp.ndarray:
     """Inside-shard_map distributed gather.

@@ -212,3 +212,60 @@ class GaucEngine:
             detail += f"{head}:{g}diff:{g - base},"
         detail += f"reward:{reward}"
         return reward, detail
+
+
+@dataclasses.dataclass
+class DurationBucketedGaucEngine:
+    """reward_v2 (``gaussian_model_utils.py:378-453``): the sample table is
+    split into two video-duration cohorts; GAUCs are evaluated per part
+    against per-part bases (``gauc_0`` / ``gauc_1``); finish is boosted 100x
+    in the long-duration part and staytime 100x in the short part; a lower
+    protected set (share/commentshow/comment at -0.01, like/follow/head at
+    -0.01 vs global base) gates invalid params to -1."""
+
+    scores: Dict[str, np.ndarray]
+    labels: Dict[str, np.ndarray]
+    user_ids: np.ndarray
+    duration_bucket: np.ndarray            # (N,) int {0, 1}
+    bound_x: Dict[str, dict]
+    num_buckets: int = 16
+
+    def __post_init__(self):
+        self._parts = []
+        for part in (0, 1):
+            m = self.duration_bucket == part
+            self._parts.append(GaucEngine(
+                scores={h: self.scores[h][m] for h in self.scores},
+                labels={h: self.labels[h][m] for h in self.labels},
+                user_ids=self.user_ids[m], bound_x=self.bound_x,
+                num_buckets=self.num_buckets))
+
+    def mark_base(self, params, parallel: bool = False):
+        for part, eng in enumerate(self._parts):
+            gaucs = eng.eval_params(params, parallel=parallel)
+            for head, g in gaucs.items():
+                self.bound_x[head][f"gauc_{part}"] = g
+
+    def reward_v2(self, params, switch: bool = False,
+                  parallel: bool = False) -> Tuple[float, str]:
+        reward = 0.0
+        detail = ""
+        for part, eng in enumerate(self._parts):
+            base_key = f"gauc_{part}"
+            gaucs = eng.eval_params(params, parallel=parallel)
+            for head, g in gaucs.items():
+                base = self.bound_x[head].get(base_key, 0.0)
+                if head in ("share", "commentshow", "comment")                         and g < base - 0.01 and not switch:
+                    return -1.0, f"part{part}:{head} not valid:{g}:{g - base}"
+                if head in ("like", "follow", "head")                         and g < self.bound_x[head].get("gauc", 0.0) - 0.01                         and not switch:
+                    return -1.0, f"part{part}:{head} not valid:{g}:{g - base}"
+                if head in ("finish", "staytime") and g < base:
+                    return -1.0, f"part{part}:{head} not valid:{g}:{g - base}"
+                tmp = g - base
+                if (head == "finish" and part == 1) or                         (head == "staytime" and part == 0):
+                    reward += 100 * tmp
+                else:
+                    reward += tmp
+                detail += f"{part}:{head}:{g} diff: {g - base},"
+        detail += f"reward:{reward}"
+        return reward, detail

@@ -167,3 +167,25 @@ class TestReader:
         rows = Reader(str(path)).parse_lines(sample_rate=1.1)
         assert len(rows) == 1
         np.testing.assert_allclose(rows[0], [5.0, 7.0, 0.1, 1, 0.2 * 0.3, 1, 0.4, 0])
+
+
+class TestDurationBucketedReward:
+    def test_reward_v2_parts_and_gates(self):
+        from recommendsystem_tpu.search.gauc import DurationBucketedGaucEngine
+        scores, labels, users = make_gauc_fixture(n=3000, users=40)
+        rng = np.random.default_rng(3)
+        duration = rng.integers(0, 2, 3000)
+        bound = default_bound_x()
+        eng = DurationBucketedGaucEngine(scores=scores, labels=labels,
+                                         user_ids=users,
+                                         duration_bucket=duration,
+                                         bound_x=bound, num_buckets=4)
+        params = {h: bound[h]["param"] for h in bound}
+        eng.mark_base(params)
+        assert "gauc_0" in bound["finish"] and "gauc_1" in bound["finish"]
+        r, detail = eng.reward_v2(params)
+        np.testing.assert_allclose(r, 0.0, atol=1e-9)    # zero deltas vs base
+        # tripping the protected finish head in part 1 gates to -1
+        bound["finish"]["gauc_1"] = 1.5
+        r2, d2 = eng.reward_v2(params)
+        assert r2 == -1.0 and "finish" in d2
