@@ -356,3 +356,37 @@ class TestBf16Tables:
             jax.tree.map(lambda x: x, eng.weights(state)))
         new = eng.apply_gradients(state, g, eng.row_counts(batch))
         assert new["f1"]["w"].dtype == jnp.bfloat16
+
+
+class TestValidation:
+    def test_sequence_column_requires_max_len(self):
+        cat = category_column("x", 16)
+        with pytest.raises(ValueError):
+            embedding_column(cat, 8, combiner=None)
+
+    def test_unknown_combiner(self):
+        cat = category_column("x", 16)
+        with pytest.raises(ValueError):
+            embedding_column(cat, 8, combiner="max")
+
+    def test_duplicate_column_key(self):
+        cat = category_column("x", 16)
+        with pytest.raises(ValueError):
+            EmbeddingFeatures([embedding_column(cat, 8),
+                               embedding_column(cat, 8)], SparseAdam())
+
+    def test_inconsistent_dims_same_table(self):
+        cat = category_column("x", 16)
+        with pytest.raises(ValueError):
+            EmbeddingFeatures([embedding_column(cat, 8, name="a"),
+                               embedding_column(cat, 16, name="b")],
+                              SparseAdam())
+
+    def test_sequence_slot_redefinition_raises(self):
+        from recommendsystem_tpu.core.config import load_model_parameter_json
+        raw = {"feature_slot": {
+            "sparse_feature": {"f": {"emb_size": 8, "slot_id": ["1"]}},
+            "sequence_feature": {"s": {"emb_size": 8, "slot_id": ["1"]}},
+            "dense_feature": {}}}
+        with pytest.raises(ValueError):
+            load_model_parameter_json(raw)

