@@ -412,6 +412,34 @@ class Loader {
   bool stop_ = false;
 };
 
+// ---------------- TFRecord writer ----------------
+
+class TFRecordWriter {
+ public:
+  explicit TFRecordWriter(const std::string& path)
+      : out_(path, std::ios::binary) {
+    crc_init();
+  }
+
+  bool ok() const { return out_.good(); }
+
+  bool write(const uint8_t* data, size_t n) {
+    uint8_t header[12];
+    uint64_t length = n;
+    memcpy(header, &length, 8);
+    uint32_t len_crc = masked_crc32c(header, 8);
+    memcpy(header + 8, &len_crc, 4);
+    out_.write(reinterpret_cast<const char*>(header), 12);
+    out_.write(reinterpret_cast<const char*>(data), n);
+    uint32_t data_crc = masked_crc32c(data, n);
+    out_.write(reinterpret_cast<const char*>(&data_crc), 4);
+    return out_.good();
+  }
+
+ private:
+  std::ofstream out_;
+};
+
 }  // namespace
 
 // ---------------- C ABI ----------------
@@ -452,6 +480,23 @@ uint64_t rec_splitmix64(uint64_t x) { return splitmix64(x); }
 uint32_t rec_crc32c(const uint8_t* data, size_t n) {
   crc_init();
   return crc32c(data, n);
+}
+
+void* rec_writer_create(const char* path) {
+  auto* w = new TFRecordWriter(path);
+  if (!w->ok()) {
+    delete w;
+    return nullptr;
+  }
+  return w;
+}
+
+int rec_writer_write(void* writer, const uint8_t* data, size_t n) {
+  return static_cast<TFRecordWriter*>(writer)->write(data, n) ? 1 : 0;
+}
+
+void rec_writer_destroy(void* writer) {
+  delete static_cast<TFRecordWriter*>(writer);
 }
 
 }  // extern "C"

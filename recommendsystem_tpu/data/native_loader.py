@@ -63,6 +63,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.rec_splitmix64.argtypes = [ctypes.c_uint64]
     lib.rec_crc32c.restype = ctypes.c_uint32
     lib.rec_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.rec_writer_create.restype = ctypes.c_void_p
+    lib.rec_writer_create.argtypes = [ctypes.c_char_p]
+    lib.rec_writer_write.restype = ctypes.c_int
+    lib.rec_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_size_t]
+    lib.rec_writer_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -147,6 +153,40 @@ class NativeRecordLoader:
         if self._handle is not None:
             self._lib.rec_loader_destroy(self._handle)
             self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeRecordWriter:
+    """C++ TFRecord writer (crc32c-framed), the write twin of the loader."""
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError(f"native writer unavailable: {_lib_error}")
+        self._lib = lib
+        self._handle = lib.rec_writer_create(path.encode())
+        if not self._handle:
+            raise IOError(f"cannot open {path}")
+
+    def write(self, record: bytes) -> None:
+        if not self._lib.rec_writer_write(self._handle, record, len(record)):
+            raise IOError("short write")
+
+    def close(self):
+        if self._handle:
+            self._lib.rec_writer_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __del__(self):
         try:

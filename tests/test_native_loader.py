@@ -96,3 +96,15 @@ class TestNative:
                                     verify_crc=True)
         total = sum(b["10"].rows.shape[0] for b, _ in loader)
         assert total < 5    # corrupted tail dropped, no crash
+
+
+def test_native_writer_roundtrips_with_python_reader(tmp_path):
+    from recommendsystem_tpu.data.native_loader import NativeRecordWriter
+    from recommendsystem_tpu.data.tfrecord import read_tfrecord
+    path = str(tmp_path / "w.tfrecord")
+    recs = [b"alpha", b"", b"x" * 500, encode_example({"5": [1, 2, 3]})]
+    with NativeRecordWriter(path) as w:
+        for r in recs:
+            w.write(r)
+    got = list(read_tfrecord(path, verify_crc=True))   # python CRC check
+    assert got == recs
