@@ -239,3 +239,23 @@ def test_bf16_tables_preserve_learning():
             m["video_id_rank_finish_nb_lr_rongh_bundle"]["auc"])
     assert aucs["bf16"] > 0.6
     assert abs(aucs["bf16"] - aucs["fp32"]) < 0.05, aucs
+
+
+@pytest.mark.parametrize("model", ["staytime", "rough_rank", "multi_head"])
+def test_export_all_models(model, tmp_path):
+    from recommendsystem_tpu.train.export import export_serving, load_serving, make_serving_fn
+    if model == "staytime":
+        from recommendsystem_tpu.models.staytime import StaytimeConfig
+        bundle = create_model(model, cfg=StaytimeConfig(bucket_size=128, seq_max_len=4))
+    else:
+        bundle = create_model(model, bucket_size=128)
+    batch, dense, labels, w = synthetic_batch(bundle, 4)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch, dense)
+    weights = bundle.embedding.weights(state.tables)
+    blob = export_serving(bundle, state, batch, dense_inputs=dense)
+    served = load_serving(blob)
+    got = served(weights, state.params, batch, dense)
+    want = make_serving_fn(bundle)(weights, state.params, batch, dense)
+    for t in want:
+        np.testing.assert_allclose(np.asarray(got[t]), np.asarray(want[t]),
+                                   rtol=1e-5, err_msg=f"{model}/{t}")
