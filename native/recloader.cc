@@ -113,6 +113,7 @@ void parse_feature(const uint8_t* data, size_t n, ParsedFeature* out) {
     uint32_t field = tag >> 3, wire = tag & 7;
     if (wire != 2 || field < 1 || field > 3) { c.skip(wire); continue; }
     uint64_t len = c.varint();
+    if (!c.ok || c.p + len > c.end) break;
     const uint8_t* sub = c.p;
     const uint8_t* sub_end = sub + len;
     c.p = sub_end;
@@ -132,6 +133,7 @@ void parse_feature(const uint8_t* data, size_t n, ParsedFeature* out) {
       } else if (field == 2) {                // float_list
         if (w2 == 2) {
           uint64_t ln = s.varint();
+          if (!s.ok || s.p + ln > s.end) { s.ok = false; break; }
           for (uint64_t i = 0; i + 4 <= ln; i += 4) {
             float f;
             memcpy(&f, s.p + i, 4);
@@ -139,6 +141,7 @@ void parse_feature(const uint8_t* data, size_t n, ParsedFeature* out) {
           }
           s.p += ln;
         } else {
+          if (s.p + 4 > s.end) { s.ok = false; break; }
           float f;
           memcpy(&f, s.p, 4);
           s.p += 4;
@@ -146,6 +149,7 @@ void parse_feature(const uint8_t* data, size_t n, ParsedFeature* out) {
         }
       } else {                                // bytes_list
         uint64_t ln = s.varint();
+        if (!s.ok || s.p + ln > s.end) { s.ok = false; break; }
         out->bytes.emplace_back(reinterpret_cast<const char*>(s.p), ln);
         s.p += ln;
       }
@@ -162,12 +166,14 @@ void parse_example(const uint8_t* data, size_t n,
     uint64_t tag = c.varint();
     if ((tag >> 3) != 1 || (tag & 7) != 2) { c.skip(tag & 7); continue; }
     uint64_t flen = c.varint();
+    if (!c.ok || c.p + flen > c.end) break;
     Cursor feats{c.p, c.p + flen};
     c.p += flen;
     while (feats.ok && feats.p < feats.end) {
       uint64_t t2 = feats.varint();
       if ((t2 >> 3) != 1 || (t2 & 7) != 2) { feats.skip(t2 & 7); continue; }
       uint64_t elen = feats.varint();
+      if (!feats.ok || feats.p + elen > feats.end) break;
       Cursor entry{feats.p, feats.p + elen};
       feats.p += elen;
       std::string key;
@@ -178,10 +184,12 @@ void parse_example(const uint8_t* data, size_t n,
         uint32_t f3 = t3 >> 3, w3 = t3 & 7;
         if (f3 == 1 && w3 == 2) {
           uint64_t kn = entry.varint();
+          if (!entry.ok || entry.p + kn > entry.end) break;
           key.assign(reinterpret_cast<const char*>(entry.p), kn);
           entry.p += kn;
         } else if (f3 == 2 && w3 == 2) {
           fsize = entry.varint();
+          if (!entry.ok || entry.p + fsize > entry.end) break;
           fdata = entry.p;
           entry.p += fsize;
         } else {

@@ -108,3 +108,26 @@ def test_native_writer_roundtrips_with_python_reader(tmp_path):
             w.write(r)
     got = list(read_tfrecord(path, verify_crc=True))   # python CRC check
     assert got == recs
+
+
+def test_cxx_parser_survives_fuzzed_records(tmp_path):
+    """Random bytes framed as valid TFRecords must not crash the C++ parser
+    (bounds-checked spans); real records around them still parse."""
+    import os as _os
+    engine = make_engine()
+    rng = np.random.default_rng(7)
+    good = encode_example({"10": [1, 2], "11": [3], "watch_duration": [5]})
+    recs = [good]
+    for _ in range(200):
+        recs.append(bytes(rng.integers(0, 256, rng.integers(1, 120),
+                                       dtype=np.uint8)))
+    recs.append(good)
+    path = str(tmp_path / "fuzz.tfrecord")
+    write_tfrecord(path, recs)
+    loader = NativeRecordLoader([path], engine, batch_size=32,
+                                scalar_features=["watch_duration"],
+                                verify_crc=True)
+    total = 0
+    for batch, scalars in loader:
+        total += batch["10"].rows.shape[0]
+    assert total == 202          # every record consumed, no crash
