@@ -55,13 +55,20 @@ def bench_jax() -> float:
     for _ in range(WARMUP):
         state, info = step(state, batch, labels, weight, None, rng)
     jax.block_until_ready(state.params)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, info = step(state, batch, labels, weight, None, rng)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    rate = BATCH * STEPS / dt
-    log(f"jax: {STEPS} steps of {BATCH} in {dt:.3f}s -> {rate:,.0f} examples/s")
+    # median of several timed windows: single-window numbers vary ±25% on
+    # this dispatch path
+    rates = []
+    for w in range(5):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, info = step(state, batch, labels, weight, None, rng)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        rates.append(BATCH * STEPS / dt)
+        log(f"jax window {w}: {STEPS} steps of {BATCH} in {dt:.3f}s "
+            f"-> {rates[-1]:,.0f} examples/s")
+    rate = sorted(rates)[len(rates) // 2]
+    log(f"jax median: {rate:,.0f} examples/s")
     return rate
 
 
