@@ -11,4 +11,4 @@ from .senet import SENet  # noqa: F401
 from .ppnet import GateTower, PPNetGateBank  # noqa: F401
 from .moe import MMOE, PLE  # noqa: F401
 from .similarity import Similarity, kd_loss  # noqa: F401
-from .moe_stacked import MMOEStacked, expert_shardings  # noqa: F401
+from .moe_stacked import MMOEStacked, PLEStacked, expert_shardings  # noqa: F401

@@ -62,6 +62,51 @@ class MMOEStacked(nn.Module):
         return task_outs
 
 
+class PLEStacked(nn.Module):
+    """Stacked-expert PLE (same math as ``nn.PLE``): shared experts in one
+    (S, ...) stack, task-specific experts in one (T·Sp, ...) stack."""
+
+    num_tasks: int
+    num_shared_experts: int = 2
+    num_specific_experts: int = 2
+    expert_dnn_units: Sequence[int] = (32,)
+    gate_dnn_units: Sequence[int] = ()
+    expert_dnn_params: Optional[Dict[str, Any]] = None
+    gate_dnn_params: Optional[Dict[str, Any]] = None
+
+    @nn.compact
+    def __call__(self, inputs, training: bool = False) -> List[jnp.ndarray]:
+        expert_params = dict(self.expert_dnn_params or {})
+        gate_params = {"output_activation": "softmax"}
+        gate_params.update(self.gate_dnn_params or {})
+        n_per_task = self.num_shared_experts + self.num_specific_experts
+        gate_units = list(self.gate_dnn_units) + [n_per_task]
+
+        def stack(size, name):
+            Stack = nn.vmap(DNN, in_axes=(None, None), out_axes=0,
+                            axis_size=size,
+                            variable_axes={"params": 0, "losses": 0},
+                            split_rngs={"params": True, "dropout": True})
+            return Stack(self.expert_dnn_units, name=name, **expert_params)
+
+        shared = stack(self.num_shared_experts, "experts")(inputs, training)
+        shared = jnp.transpose(shared, (1, 0, 2))               # (B, S, D)
+        specific = stack(self.num_tasks * self.num_specific_experts,
+                         "specific_experts")(inputs, training)
+        specific = jnp.transpose(specific, (1, 0, 2))           # (B, T*Sp, D)
+
+        task_outs = []
+        for i in range(self.num_tasks):
+            mine = specific[:, i * self.num_specific_experts:
+                            (i + 1) * self.num_specific_experts]
+            experts = jnp.concatenate([shared, mine], axis=1)   # (B, S+Sp, D)
+            gate = DNN(gate_units, name=f"task{i}_gate", **gate_params)(
+                inputs, training=training)
+            task_outs.append(jnp.einsum("bed,be->bd", experts, gate,
+                                        preferred_element_type=jnp.float32))
+        return task_outs
+
+
 def expert_shardings(params, mesh: Mesh, axis: str = MODEL_AXIS):
     """Sharding tree for an MMOEStacked param subtree: stacked expert leaves
     (leading axis == num_experts) shard over ``axis``; everything else
@@ -75,7 +120,8 @@ def expert_shardings(params, mesh: Mesh, axis: str = MODEL_AXIS):
 
     def walk(tree, inside_experts=False):
         if isinstance(tree, dict):
-            return {k: walk(v, inside_experts or k == "experts")
+            return {k: walk(v, inside_experts or
+                            k in ("experts", "specific_experts"))
                     for k, v in tree.items()}
         return leaf(tree) if inside_experts else repl
 

@@ -49,3 +49,46 @@ def test_expert_parallel_sharding(cpu_devices):
     for a, b in zip(out_repl, out_ep):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_ple_stacked_matches_unstacked():
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 10))
+    ref = rnn.PLE(num_tasks=2, num_shared_experts=2, num_specific_experts=2,
+                  expert_dnn_units=(8,))
+    vref = ref.init(jax.random.PRNGKey(1), x)
+    st = rnn.PLEStacked(num_tasks=2, num_shared_experts=2,
+                        num_specific_experts=2, expert_dnn_units=(8,))
+    vst = st.init(jax.random.PRNGKey(1), x)
+    p = jax.tree.map(lambda a: np.array(a), vst["params"])
+    for e in range(2):
+        src = vref["params"][f"shared_expert{e}"]
+        p["experts"]["kernel0"][e] = np.asarray(src["kernel0"])
+        p["experts"]["bias0"][e] = np.asarray(src["bias0"])
+    for t in range(2):
+        for j in range(2):
+            src = vref["params"][f"task{t}_expert{j}"]
+            p["specific_experts"]["kernel0"][t * 2 + j] = np.asarray(src["kernel0"])
+            p["specific_experts"]["bias0"][t * 2 + j] = np.asarray(src["bias0"])
+        p[f"task{t}_gate"] = jax.tree.map(np.asarray,
+                                          vref["params"][f"task{t}_gate"])
+    out_ref = ref.apply(vref, x)
+    out_st = st.apply({"params": p}, x)
+    for a, b in zip(out_ref, out_st):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_ple_stacked_expert_sharding(cpu_devices):
+    mesh = create_mesh(cpu_devices[:8], model_parallel=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 12))
+    m = rnn.PLEStacked(num_tasks=2, num_shared_experts=2,
+                       num_specific_experts=2, expert_dnn_units=(8,))
+    v = m.init(jax.random.PRNGKey(1), x)
+    out_repl = m.apply(v, x)
+    sh = rnn.expert_shardings(v["params"], mesh)
+    assert sh["specific_experts"]["kernel0"].spec[0] == "model"
+    v_sh = {"params": jax.device_put(v["params"], sh)}
+    out_ep = jax.jit(lambda vv, xx: m.apply(vv, xx))(v_sh, x)
+    for a, b in zip(out_repl, out_ep):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
