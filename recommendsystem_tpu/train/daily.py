@@ -26,7 +26,7 @@ from ..data.parse import make_ctr_parse_fn, make_staytime_parse_fn
 from ..models import create_model
 from ..utils.dates import trained_delta_days
 from .checkpoint import save_checkpoint
-from .harness import dump_predict, fit
+from .harness import dump_predict, evaluate, fit
 
 log = logging.getLogger("recommendsystem_tpu.daily")
 
@@ -74,6 +74,10 @@ def main(argv=None):
     ap.add_argument("--evict-min-show", type=float, default=-1.0,
                     help="after each day, zero table rows seen fewer than "
                          "this many times (feature_drop_show analog; -1 off)")
+    ap.add_argument("--backtest", action="store_true",
+                    help="progressive validation: before training each day, "
+                         "evaluate the current model on that day's data and "
+                         "append metrics to <state-dir>/backtest.jsonl")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, force=True)
@@ -97,6 +101,20 @@ def main(argv=None):
     state = None
 
     for day in days:
+        if args.backtest and state is not None:
+            ds_eval = dataset_reader(args.data_dir, [day], args.match_pattern,
+                                     args.batch_size, parse_fn,
+                                     drop_remainder=False)
+            metrics = evaluate(bundle,
+                               ((b, d, l, w) for b, d, l, w, _ in ds_eval),
+                               state)
+            rec = {"day": day, "step": int(state.step)}
+            for task, ms in metrics.items():
+                for name, v in ms.items():
+                    rec[f"{task}/{name}"] = round(float(v), 6)
+            with open(os.path.join(args.state_dir, "backtest.jsonl"), "a") as bf:
+                bf.write(json.dumps(rec) + "\n")
+            log.info("backtest %s: %s", day, rec)
         log.info("training day %s", day)
         ds = dataset_reader(args.data_dir, [day], args.match_pattern,
                             args.batch_size, parse_fn)
