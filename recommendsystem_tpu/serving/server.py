@@ -39,22 +39,39 @@ log = logging.getLogger("recommendsystem_tpu.serving")
 
 
 class ScoringService:
+    """Requests pad to the smallest compiled batch bucket (powers of two up
+    to ``max_batch``) — small requests don't pay full-batch latency, and the
+    jit cache holds one executable per bucket."""
+
     def __init__(self, bundle: ModelBundle, state: TrainState,
-                 max_batch: int = 256, ids_per_feature: int = 5):
+                 max_batch: int = 256, ids_per_feature: int = 5,
+                 min_bucket: int = 8):
         self.bundle = bundle
         self.state = state
         self.max_batch = max_batch
         self.ids_per_feature = ids_per_feature
+        self.buckets = []
+        b = min_bucket
+        while b < max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(max_batch)
         self._predict = make_predict_step(bundle)
 
-    def _make_batch(self, rows: List[Dict[str, List[int]]]) -> Dict[str, IdBatch]:
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"batch {n} exceeds max_batch {self.max_batch}")
+
+    def _make_batch(self, rows: List[Dict[str, List[int]]],
+                    bucket: int) -> Dict[str, IdBatch]:
         from ..data.parse import pad_ids
         batch = {}
         for key, col in self.bundle.embedding.columns.items():
             fkey = col.categorical_column.key
             values = [r.get(fkey, []) for r in rows]
-            # pad the request up to the compiled batch size
-            values += [[]] * (self.max_batch - len(values))
+            values += [[]] * (bucket - len(values))
             max_len = col.seq_max_len if col.is_sequence else self.ids_per_feature
             batch[key] = pad_ids(values, max_len, col.categorical_column.hash_ids)
         return batch
@@ -64,15 +81,14 @@ class ScoringService:
               ) -> Dict[str, List[float]]:
         if not rows:
             return {}
-        if len(rows) > self.max_batch:
-            raise ValueError(f"batch {len(rows)} exceeds max_batch {self.max_batch}")
-        batch = self._make_batch(rows)
+        bucket = self._bucket_for(len(rows))
+        batch = self._make_batch(rows, bucket)
         dense_inputs = None
         if self.bundle.dense_input_keys:
             dense_inputs = {}
             for k in self.bundle.dense_input_keys:
                 col = [(d or {}).get(k, 0.0) for d in (dense or [{}] * len(rows))]
-                col += [0.0] * (self.max_batch - len(col))
+                col += [0.0] * (bucket - len(col))
                 dense_inputs[k] = np.asarray(col, np.float32).reshape(-1, 1)
         out = jax.device_get(self._predict(self.state, batch, dense_inputs))
         n = len(rows)
