@@ -11,12 +11,65 @@ from __future__ import annotations
 from typing import Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import ModelBundle
 from ..search.gauc import group_auc
 from .state import TrainState
 from .step import make_predict_step
+from .streaming_gauc import StreamingGauc
+
+
+def make_gauc_eval_step(bundle: ModelBundle, gauc: StreamingGauc,
+                        mode: str = "local"):
+    """Jitted (state, batch, dense_inputs, labels, user_ids, gauc_states) ->
+    gauc_states: predict + streaming-GAUC update for every binary task head,
+    entirely on device.  ``gauc_states`` is {task: gauc.init()} and is
+    additive, so shard-local states psum/sum into the global one."""
+
+    def step(state: TrainState, batch, dense_inputs, labels, user_ids,
+             gauc_states):
+        weights = bundle.embedding.weights(state.tables)
+        embs = bundle.embedding.lookup(weights, batch, mode=mode)
+        kwargs = {}
+        if dense_inputs is not None:
+            kwargs["dense_inputs"] = dense_inputs
+        outputs = bundle.module.apply({"params": state.params}, embs,
+                                      training=False, **kwargs)
+        outputs = bundle.predict_view(outputs)
+        out = {}
+        for task, s in gauc_states.items():
+            pred = outputs[task].reshape(outputs[task].shape[0], -1)[:, -1]
+            y = jnp.asarray(labels[task])
+            y = y.reshape(y.shape[0], -1)[:, -1]
+            out[task] = gauc.update(s, y, pred, user_ids)
+        return out
+
+    return jax.jit(step)
+
+
+def evaluate_gauc_streaming(bundle: ModelBundle, dataset: Iterable,
+                            state: TrainState, user_key: str = "user_id",
+                            mode: str = "local", tasks: Optional[tuple] = None,
+                            gauc: Optional[StreamingGauc] = None
+                            ) -> Dict[str, float]:
+    """In-jit variant of :func:`evaluate_gauc` — no host-side prediction dump;
+    the per-user state stays on device as bucketed histograms.  Binary (ROC)
+    heads only; spearman/continuous heads need the offline engine."""
+    gauc = gauc or StreamingGauc()
+    task_list = tuple(tasks or bundle.metrics)
+    step = make_gauc_eval_step(bundle, gauc, mode=mode)
+    states = None
+    for item in dataset:
+        batch, dense_inputs, labels, _weight, extras = item
+        if states is None:
+            states = {t: gauc.init() for t in task_list if t in labels}
+        users = jnp.asarray(np.asarray(extras[user_key]))
+        states = step(state, batch, dense_inputs, labels, users, states)
+    if states is None:
+        return {}
+    return {t: float(gauc.compute(s)) for t, s in states.items()}
 
 
 def evaluate_gauc(bundle: ModelBundle, dataset: Iterable, state: TrainState,
