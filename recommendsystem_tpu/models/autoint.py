@@ -73,6 +73,7 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
                    bucket_size: int = 265000,
                    num_shards: int = 1,
                    table_dtype=None,
+                   compute_dtype=None,
                    sparse_lr: float = 5e-5,
                    dense_lr: float = 5e-5) -> ModelBundle:
     """LRs per the reference: sparse/dense Adam 5e-5 (``base_model.py:163,192``)."""
@@ -95,4 +96,5 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
         metrics={TASK: [M.binary_accuracy(), M.auc(), M.copc()]},
         dense_optimizer=optax.adam(dense_lr, b1=0.9, b2=0.999, eps=1e-8),
         config=cfg,
+        compute_dtype=compute_dtype,
     )

@@ -37,6 +37,10 @@ class ModelBundle:
     # batch column keys the model consumes (embedding columns + dense)
     dense_input_keys: tuple = ()
     config: Any = None
+    # mixed-precision policy: None = fp32 throughout; jnp.bfloat16 casts
+    # params + embedding activations at use inside the step (master weights,
+    # losses, metrics, optimizer state stay fp32) — see train/step.py
+    compute_dtype: Any = None
 
     def init(self, rng, batch: Dict[str, IdBatch], dense_inputs=None):
         """Initialize dense params + embedding tables."""

@@ -144,6 +144,7 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
                bucket_size: int = 265000,
                num_shards: int = 1,
                table_dtype=None,
+               compute_dtype=None,
                sparse_lr: float = 5e-5,
                dense_lr: float = 5e-5) -> ModelBundle:
     if cfg is None:
@@ -169,4 +170,5 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
         metrics={T_CLICK: list(metrics), T_EFFECT: list(metrics)},
         dense_optimizer=optax.adam(dense_lr, b1=0.9, b2=0.999, eps=1e-8),
         config=cfg,
+        compute_dtype=compute_dtype,
     )

@@ -77,6 +77,7 @@ def create_finish(slots: Optional[Sequence[str]] = None,
                   deep_hidden_units: Tuple[int, ...] = (64, 32),
                   num_shards: int = 1,
                   table_dtype=None,
+                  compute_dtype=None,
                   sparse_lr: float = 1e-3,
                   dense_lr: float = 1e-3) -> ModelBundle:
     if slots is None:
@@ -101,4 +102,5 @@ def create_finish(slots: Optional[Sequence[str]] = None,
         losses={TASK: L.cross_entropy_sum_mean},
         metrics={TASK: [M.binary_accuracy(), M.auc()]},
         dense_optimizer=optax.adam(dense_lr, b1=0.9, b2=0.999, eps=1e-8),
+        compute_dtype=compute_dtype,
     )

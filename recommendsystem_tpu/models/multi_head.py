@@ -82,6 +82,7 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
                       dim: int = 8,
                       num_shards: int = 1,
                       table_dtype=None,
+                      compute_dtype=None,
                       sparse_lr: float = 5e-5,
                       dense_lr: float = 1e-5) -> ModelBundle:
     if slots is None:
@@ -101,4 +102,5 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
         losses={t: L.cross_entropy_per_sample for t in TASKS},
         metrics={t: [M.binary_accuracy(), M.auc(), M.copc()] for t in TASKS},
         dense_optimizer=optax.adam(dense_lr, b1=0.9, b2=0.999, eps=1e-8),
+        compute_dtype=compute_dtype,
     )

@@ -113,6 +113,7 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
                       dim: int = 16,
                       num_shards: int = 1,
                       table_dtype=None,
+                      compute_dtype=None,
                       sparse_lr: float = 1e-3,
                       dense_lr: float = 1e-4) -> ModelBundle:
     if user_slots is None:
@@ -140,4 +141,5 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
         dense_input_keys=(FLAG_SLOT,),
         predict_outputs={"student": "student", "teacher": "teacher",
                          "user_emb": "user_emb", "item_emb": "item_emb"},
+        compute_dtype=compute_dtype,
     )

@@ -170,6 +170,7 @@ def create_staytime(cfg: Optional[StaytimeConfig] = None,
                     deep_hidden_units: Tuple[int, ...] = (256, 128),
                     num_shards: int = 1,
                     table_dtype=None,
+                    compute_dtype=None,
                     sparse_lr: float = 5e-3,
                     dense_lr: float = 5e-4) -> ModelBundle:
     cfg = cfg or StaytimeConfig()
@@ -202,4 +203,5 @@ def create_staytime(cfg: Optional[StaytimeConfig] = None,
         dense_optimizer=optax.adam(dense_lr, b1=0.9, b2=0.999, eps=1e-8),
         predict_outputs={T_STAY: f"{T_STAY}_pred", T_SHORT: T_SHORT, T_LONG: T_LONG},
         config=cfg,
+        compute_dtype=compute_dtype,
     )

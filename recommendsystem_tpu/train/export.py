@@ -44,12 +44,10 @@ def make_serving_fn(bundle: ModelBundle):
     """(weights, batch, dense_inputs) -> named predict outputs."""
 
     def serve(weights, params, batch, dense_inputs):
+        from .step import apply_model
         embs = bundle.embedding.lookup(weights, batch)
-        kwargs = {}
-        if dense_inputs is not None:
-            kwargs["dense_inputs"] = dense_inputs
-        outputs = bundle.module.apply({"params": params}, embs, training=False,
-                                      **kwargs)
+        outputs = apply_model(bundle, params, embs, dense_inputs,
+                              training=False)
         return bundle.predict_view(outputs)
 
     return serve

@@ -17,7 +17,7 @@ import numpy as np
 from ..models.base import ModelBundle
 from ..search.gauc import group_auc
 from .state import TrainState
-from .step import make_predict_step
+from .step import apply_model, make_predict_step
 from .streaming_gauc import StreamingGauc
 
 
@@ -32,11 +32,8 @@ def make_gauc_eval_step(bundle: ModelBundle, gauc: StreamingGauc,
              gauc_states):
         weights = bundle.embedding.weights(state.tables)
         embs = bundle.embedding.lookup(weights, batch, mode=mode)
-        kwargs = {}
-        if dense_inputs is not None:
-            kwargs["dense_inputs"] = dense_inputs
-        outputs = bundle.module.apply({"params": state.params}, embs,
-                                      training=False, **kwargs)
+        outputs = apply_model(bundle, state.params, embs, dense_inputs,
+                              training=False)
         outputs = bundle.predict_view(outputs)
         out = {}
         for task, s in gauc_states.items():

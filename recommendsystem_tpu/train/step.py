@@ -22,6 +22,38 @@ from . import metrics as M
 from .state import TrainState
 
 
+def _cast_floating(tree, dtype):
+    """Cast float leaves of a pytree (params/embeddings/outputs) to ``dtype``;
+    bool masks and integer ids pass through."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+
+
+def apply_model(bundle: ModelBundle, params, embs, dense_inputs=None,
+                training: bool = False, rngs=None, mutable=False):
+    """One place every step applies the flax module, honoring the bundle's
+    mixed-precision policy: master params stay fp32 in the train state; with
+    ``compute_dtype=bfloat16`` they (and the embedding activations) are cast
+    at use and outputs cast back to fp32, so losses/metrics/optimizer math is
+    always fp32 — the standard TPU mixed-precision recipe."""
+    dtype = getattr(bundle, "compute_dtype", None)
+    params = _cast_floating(params, dtype)
+    embs = _cast_floating(embs, dtype)
+    kwargs = {}
+    if dense_inputs is not None:
+        kwargs["dense_inputs"] = _cast_floating(dense_inputs, dtype)
+    out = bundle.module.apply({"params": params}, embs, training=training,
+                              rngs=rngs, mutable=mutable, **kwargs)
+    if mutable:
+        outputs, mutated = out
+        return _cast_floating(outputs, jnp.float32 if dtype else None), mutated
+    return _cast_floating(out, jnp.float32 if dtype else None)
+
+
 def _weighted_task_loss(loss_fn, y, pred, sample_weight):
     """Keras loss reduction: scalar losses pass through; per-sample /
     per-element losses are (sample-weighted) means."""
@@ -47,12 +79,9 @@ def total_loss_fn(bundle: ModelBundle, params, table_weights, batch, labels,
 
 def _model_outputs_and_loss(bundle, params, embs, labels, sample_weight,
                             dense_inputs, training, rngs):
-    kwargs = {}
-    if dense_inputs is not None:
-        kwargs["dense_inputs"] = dense_inputs
-    outputs, mutated = bundle.module.apply(
-        {"params": params}, embs, training=training, rngs=rngs,
-        mutable=["losses"], **kwargs)
+    outputs, mutated = apply_model(bundle, params, embs, dense_inputs,
+                                   training=training, rngs=rngs,
+                                   mutable=["losses"])
     loss = jnp.float32(0)
     task_losses = {}
     for task, loss_fn in bundle.losses.items():
@@ -151,11 +180,8 @@ def make_eval_step(bundle: ModelBundle, mode: str = "local") -> Callable:
              metric_states):
         weights = bundle.embedding.weights(state.tables)
         embs = bundle.embedding.lookup(weights, batch, mode=mode)
-        kwargs = {}
-        if dense_inputs is not None:
-            kwargs["dense_inputs"] = dense_inputs
-        outputs = bundle.module.apply({"params": state.params}, embs,
-                                      training=False, **kwargs)
+        outputs = apply_model(bundle, state.params, embs, dense_inputs,
+                              training=False)
         y = {t: jnp.asarray(labels[t]) for t in bundle.metrics}
         preds = {t: outputs[t] for t in bundle.metrics}
         metric_states = M.update_metrics(bundle.metrics, metric_states, y, preds,
@@ -169,11 +195,8 @@ def make_predict_step(bundle: ModelBundle, mode: str = "local") -> Callable:
     def step(state: TrainState, batch, dense_inputs):
         weights = bundle.embedding.weights(state.tables)
         embs = bundle.embedding.lookup(weights, batch, mode=mode)
-        kwargs = {}
-        if dense_inputs is not None:
-            kwargs["dense_inputs"] = dense_inputs
-        outputs = bundle.module.apply({"params": state.params}, embs,
-                                      training=False, **kwargs)
+        outputs = apply_model(bundle, state.params, embs, dense_inputs,
+                              training=False)
         return bundle.predict_view(outputs)
 
     return jax.jit(step)

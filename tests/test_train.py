@@ -226,6 +226,34 @@ def test_evaluate_gauc():
     assert g > 0.55, f"GAUC {g}"
 
 
+def test_bf16_compute_policy():
+    """compute_dtype=bf16: master params stay fp32, outputs come back fp32,
+    forward tracks the fp32 model to bf16 tolerance, and learning survives."""
+    from recommendsystem_tpu.train.step import apply_model
+
+    b32 = create_model("autoint", bucket_size=512,
+                       sparse_lr=5e-2, dense_lr=1e-2)
+    b16 = create_model("autoint", bucket_size=512, compute_dtype=jnp.bfloat16,
+                       sparse_lr=5e-2, dense_lr=1e-2)
+    batch, dense, labels, w = synthetic_batch(b32, 64)
+    state = create_train_state(b32, jax.random.PRNGKey(0), batch)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.params))
+
+    embs = b32.embedding.lookup(b32.embedding.weights(state.tables), batch)
+    out32 = apply_model(b32, state.params, embs)
+    out16 = apply_model(b16, state.params, embs)
+    t = "video_id_rank_skip_model"
+    assert out16[t].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16[t]), np.asarray(out32[t]),
+                               atol=3e-2)
+
+    state = fit(b16, dataset(b16, 40), log_every=0)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
+    m = evaluate(b16, dataset(b16, 6, seed0=2000), state)
+    assert float(m[t]["auc"]) > 0.6
+
+
 def test_bf16_tables_preserve_learning():
     """bf16 table storage (opt-in) must not materially change learnability."""
     aucs = {}
