@@ -207,11 +207,19 @@ def bench_predict(name: str, batch: int, steps: int = 50, **kwargs) -> float:
 
 
 def bench_all():
-    bench_model("ctr", 32768, bucket_size=265000)
-    bench_model("multi_head", 32768, bucket_size=265000)
-    bench_model("finish", 32768, bucket_size=25600)
-    bench_model("rough_rank", 32768, bucket_size=25600)
-    bench_model("staytime", 16384, steps=10)
+    import jax.numpy as jnp
+    extra = {}
+    if "--bf16" in sys.argv:
+        # bf16 table storage + compute policy + Adam m/v storage
+        # (master weights / loss / optimizer arithmetic stay fp32)
+        extra = {"table_dtype": jnp.bfloat16, "compute_dtype": jnp.bfloat16,
+                 "opt_state_dtype": jnp.bfloat16}
+    st_extra = {k: v for k, v in extra.items() if k != "opt_state_dtype"}
+    bench_model("ctr", 32768, bucket_size=265000, **extra)
+    bench_model("multi_head", 32768, bucket_size=265000, **extra)
+    bench_model("finish", 32768, bucket_size=25600, **extra)
+    bench_model("rough_rank", 32768, bucket_size=25600, **extra)
+    bench_model("staytime", 16384, steps=10, **st_extra)  # AdaGrad: scalar state
 
 
 def main():

@@ -323,7 +323,8 @@ class EmbeddingFeatures:
             w = tstate["w"].at[u_rows].add(delta)
             opt = jax.tree.map(
                 lambda s, s_rows, s_new: s.at[u_rows].add(
-                    valid * (s_new - s_rows)),
+                    (valid * (s_new.astype(jnp.float32)
+                              - s_rows.astype(jnp.float32))).astype(s.dtype)),
                 tstate["opt"], opt_rows, opt_new)
             show = tstate["show"].at[u_rows].add(count_u * valid)
             new_state[tkey] = {"w": w, "opt": opt, "show": show}

@@ -74,6 +74,7 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
                    num_shards: int = 1,
                    table_dtype=None,
                    compute_dtype=None,
+                   opt_state_dtype=None,
                    sparse_lr: float = 5e-5,
                    dense_lr: float = 5e-5) -> ModelBundle:
     """LRs per the reference: sparse/dense Adam 5e-5 (``base_model.py:163,192``)."""
@@ -84,7 +85,9 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
     dim = cfg.max_embed_size
     cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
             for slot in cfg.sparse_slots]
-    emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
+    emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr,
+                                       **({} if opt_state_dtype is None
+                                          else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 

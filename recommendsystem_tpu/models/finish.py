@@ -78,6 +78,7 @@ def create_finish(slots: Optional[Sequence[str]] = None,
                   num_shards: int = 1,
                   table_dtype=None,
                   compute_dtype=None,
+                  opt_state_dtype=None,
                   sparse_lr: float = 1e-3,
                   dense_lr: float = 1e-3) -> ModelBundle:
     if slots is None:
@@ -89,7 +90,9 @@ def create_finish(slots: Optional[Sequence[str]] = None,
 
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in slots]
-    emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
+    emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr,
+                                       **({} if opt_state_dtype is None
+                                          else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 

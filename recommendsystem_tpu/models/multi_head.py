@@ -83,6 +83,7 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
                       num_shards: int = 1,
                       table_dtype=None,
                       compute_dtype=None,
+                      opt_state_dtype=None,
                       sparse_lr: float = 5e-5,
                       dense_lr: float = 1e-5) -> ModelBundle:
     if slots is None:
@@ -91,7 +92,9 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
 
     cols = [embedding_column(category_column(s, bucket_size), dim, combiner="mean")
             for s in slots]
-    emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr),
+    emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr,
+                                       **({} if opt_state_dtype is None
+                                          else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 

@@ -85,6 +85,32 @@ class TestStreamingGauc:
         assert (np.bincount(b, minlength=64) > 0).mean() > 0.9
 
 
+def test_sharded_update_psum_equals_local():
+    """Data-sharded update over an 8-device mesh + psum == full-batch local
+    update — the in-jit eval-on-mesh contract."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    labels, preds, users = _case(n=256, seed=3)
+    m = StreamingGauc(num_buckets=16, num_bins=64, hash_ids=False)
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.array(devices), ("data",))
+
+    def upd(y, p, u):
+        local = m.update(m.init(), y, p, u)
+        return jax.tree.map(lambda x: jax.lax.psum(x, "data"), local)
+
+    fn = jax.jit(jax.shard_map(upd, mesh=mesh,
+                               in_specs=(P("data"), P("data"), P("data")),
+                               out_specs=P()))
+    sharded = fn(jnp.asarray(labels), jnp.asarray(preds), jnp.asarray(users))
+    local = m.update(m.init(), jnp.asarray(labels), jnp.asarray(preds),
+                     jnp.asarray(users))
+    for a, b in zip(jax.tree.leaves(sharded), jax.tree.leaves(local)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(m.compute(sharded)),
+                               float(m.compute(local)), rtol=1e-6)
+
+
 def test_streaming_end_to_end_matches_offline():
     bundle = create_model("autoint", bucket_size=512,
                           sparse_lr=5e-2, dense_lr=1e-2)

@@ -254,6 +254,23 @@ def test_bf16_compute_policy():
     assert float(m[t]["auc"]) > 0.6
 
 
+def test_bf16_opt_state_preserves_learning():
+    """opt_state_dtype=bf16 stores Adam m/v in bf16 (arithmetic fp32);
+    learning on the planted signal must survive."""
+    bundle = create_model("autoint", bucket_size=512,
+                          opt_state_dtype=jnp.bfloat16,
+                          sparse_lr=5e-2, dense_lr=1e-2)
+    batch, _, _, _ = synthetic_batch(bundle, 8)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+    skey = next(iter(state.tables))
+    assert state.tables[skey]["opt"]["m"].dtype == jnp.bfloat16
+    assert state.tables[skey]["opt"]["t"].dtype == jnp.float32
+    state = fit(bundle, dataset(bundle, 120), log_every=0)
+    metrics = evaluate(bundle, dataset(bundle, 8, seed0=1000), state)
+    auc = float(metrics["video_id_rank_skip_model"]["auc"])
+    assert auc > 0.6, f"AUC {auc} with bf16 opt state"
+
+
 def test_bf16_tables_preserve_learning():
     """bf16 table storage (opt-in) must not materially change learnability."""
     aucs = {}
