@@ -148,8 +148,12 @@ def get_tf_baseline() -> float:
         return -1.0
 
 
-def bench_model(name: str, batch: int, steps: int = 20, **kwargs) -> float:
-    """Train-throughput for any zoo model (reported to stderr with --all)."""
+def bench_model(name: str, batch: int, steps: int = 20,
+                ids_per_feature=5, **kwargs) -> float:
+    """Train-throughput for any zoo model (reported to stderr with --all).
+
+    ``ids_per_feature``: int, or per-column dict (unlisted columns -> 1) to
+    model realistic mostly-single-valued VarLen widths."""
     import jax
     from recommendsystem_tpu.data import synthetic_batch
     from recommendsystem_tpu.models import create_model
@@ -157,7 +161,8 @@ def bench_model(name: str, batch: int, steps: int = 20, **kwargs) -> float:
     from recommendsystem_tpu.train.step import make_train_step
 
     bundle = create_model(name, **kwargs)
-    b, dense, labels, weight = synthetic_batch(bundle, batch, seed=0)
+    b, dense, labels, weight = synthetic_batch(bundle, batch, seed=0,
+                                               ids_per_feature=ids_per_feature)
     b = jax.device_put(b)
     labels = jax.device_put(labels)
     weight = jax.device_put(weight)
@@ -220,6 +225,10 @@ def bench_all():
     bench_model("finish", 32768, bucket_size=25600, **extra)
     bench_model("rough_rank", 32768, bucket_size=25600, **extra)
     bench_model("staytime", 16384, steps=10, **st_extra)  # AdaGrad: scalar state
+    if "--realistic-ids" in sys.argv:
+        # mostly-single-valued VarLen widths (production-like), vs the
+        # worst-case uniform 5-id padding above
+        bench_model("staytime", 16384, steps=10, ids_per_feature={}, **st_extra)
 
 
 def main():

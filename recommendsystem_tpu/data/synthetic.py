@@ -19,13 +19,17 @@ from .staytime_labels import staytime_labels
 
 
 def synthetic_batch(bundle: ModelBundle, batch_size: int, seed: int = 0,
-                    ids_per_feature: int = 5) -> Tuple[
+                    ids_per_feature=5) -> Tuple[
                         Dict[str, IdBatch], Optional[dict], Dict[str, np.ndarray],
                         np.ndarray]:
     """Returns (batch, dense_inputs, labels, sample_weight).
 
     A hidden per-sample scalar "engagement" drives both which ids appear and
     the labels, so models can actually learn from this data.
+
+    ``ids_per_feature``: padded width of mean-combined columns — an int for
+    all columns, or a {column_key: width} dict (unlisted columns default to
+    1, matching mostly-single-valued production VarLen features).
     """
     rng = np.random.default_rng(seed)
     engagement = rng.uniform(0.0, 1.0, size=(batch_size,))
@@ -33,7 +37,12 @@ def synthetic_batch(bundle: ModelBundle, batch_size: int, seed: int = 0,
     batch: Dict[str, IdBatch] = {}
     for key, col in bundle.embedding.columns.items():
         bucket = col.categorical_column.bucket_size
-        length = col.seq_max_len if col.is_sequence else ids_per_feature
+        if col.is_sequence:
+            length = col.seq_max_len
+        elif isinstance(ids_per_feature, dict):
+            length = ids_per_feature.get(key, 1)
+        else:
+            length = ids_per_feature
         # id values correlate with engagement: high-engagement users draw
         # from the low end of the id space
         centers = (engagement * 0.5 * bucket).astype(np.int64)

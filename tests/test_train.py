@@ -129,6 +129,24 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_roundtrip_bf16_state(self, tmp_path):
+        """bf16 tables + bf16 Adam m/v survive the orbax roundtrip with
+        dtypes and bits intact."""
+        bundle = create_model("autoint", bucket_size=256,
+                              table_dtype=jnp.bfloat16,
+                              opt_state_dtype=jnp.bfloat16)
+        batch, dense, labels, w = synthetic_batch(bundle, 16)
+        state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+        step = make_train_step(bundle, donate=False)
+        state, _ = step(state, batch, labels, w, None, jax.random.PRNGKey(1))
+        save_checkpoint(str(tmp_path / "ckpt"), state)
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(
+                np.atleast_1d(np.asarray(a)).view(np.uint8),
+                np.atleast_1d(np.asarray(b)).view(np.uint8))
+
     def test_dump_predict(self, tmp_path):
         bundle = create_model("autoint", bucket_size=256)
         batch, dense, labels, w = synthetic_batch(bundle, 8)
