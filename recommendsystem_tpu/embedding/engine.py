@@ -104,7 +104,9 @@ class EmbeddingFeatures:
         self.group_tables = group_tables
         # bf16 table storage halves gather bandwidth + table memory; all
         # arithmetic (combine, optimizer) stays fp32, values round-trip
-        # through the storage dtype on write
+        # through the storage dtype on write.  "auto" picks bf16 for dim>=32
+        # tables and fp32 for narrower rows, where the HBM transaction
+        # granularity swallows the byte saving (measured: STATUS.md).
         self.table_dtype = table_dtype
         self.columns: Dict[str, EmbeddingColumn] = {}
         self.tables: Dict[str, Tuple[int, int]] = {}   # table_key -> (rows, dim)
@@ -151,13 +153,18 @@ class EmbeddingFeatures:
 
     # ---------------- state ----------------
 
+    def storage_dtype(self, dim: int):
+        if self.table_dtype == "auto":
+            return jnp.bfloat16 if dim >= 32 else jnp.float32
+        return self.table_dtype
+
     def init(self, rng) -> Dict[str, Dict[str, Any]]:
         state = {}
         for skey, (rows, dim) in sorted(self.storage.items()):
             rng, sub = jax.random.split(rng)
             state[skey] = {
                 "w": self.sparse_opt.table_init(sub, (rows, dim),
-                                                dtype=self.table_dtype),
+                                                dtype=self.storage_dtype(dim)),
                 "opt": self.sparse_opt.init_state((rows, dim)),
                 "show": jnp.zeros((rows, 1), jnp.float32),
             }

@@ -344,6 +344,39 @@ class TestBf16Tables:
         changed = np.abs(w1 - w0).sum(1) > 0
         assert changed[3] and changed[9] and changed.sum() == 2
 
+    def test_auto_table_dtype_mixed_dims(self):
+        """table_dtype='auto': bf16 for dim>=32 rows, fp32 for narrow rows —
+        both inside ONE engine, trained in one scatter step."""
+        cols = [embedding_column(category_column("wide", 64), 32, combiner="mean"),
+                embedding_column(category_column("narrow", 64), 8, combiner="mean")]
+        eng = EmbeddingFeatures(cols, SparseAdam(learning_rate=0.05),
+                                table_dtype="auto", group_tables=True)
+        state = eng.init(jax.random.PRNGKey(0))
+        skey_w = eng.table_map["wide"][0]
+        skey_n = eng.table_map["narrow"][0]
+        assert state[skey_w]["w"].dtype == jnp.bfloat16
+        assert state[skey_n]["w"].dtype == jnp.float32
+
+        batch = {"wide": IdBatch(jnp.array([[3, 5]], jnp.int32),
+                                 jnp.ones((1, 2), jnp.float32)),
+                 "narrow": IdBatch(jnp.array([[7, 0]], jnp.int32),
+                                   jnp.array([[1.0, 0.0]], jnp.float32))}
+
+        def loss(raw):
+            out = eng.combine_raw(raw, batch)
+            return sum(jnp.sum(v ** 2) for v in out.values())
+
+        raw = eng.gather_raw(eng.weights(state), batch)
+        graw = jax.grad(loss)(raw)
+        new = jax.jit(eng.apply_gradients_scatter)(
+            state, eng.flatten_raw_grads(graw, batch))
+        assert new[skey_w]["w"].dtype == jnp.bfloat16
+        assert new[skey_n]["w"].dtype == jnp.float32
+        for skey, touched in ((skey_w, [3, 5]), (skey_n, [7])):
+            d = np.abs(np.asarray(new[skey]["w"].astype(jnp.float32))
+                       - np.asarray(state[skey]["w"].astype(jnp.float32))).sum(1)
+            assert (d[touched] > 0).all() and (d > 0).sum() == len(touched)
+
     def test_dense_path_bf16(self):
         cat = category_column("f1", 32)
         eng = EmbeddingFeatures([embedding_column(cat, 8, combiner="mean")],
