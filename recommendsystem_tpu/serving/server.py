@@ -149,12 +149,22 @@ def main(argv=None):
     ap.add_argument("--bucket-size", type=int, default=None)
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=256)
+    ap.add_argument("--table-dtype", choices=["fp32", "bf16", "auto"],
+                    default="fp32")
+    ap.add_argument("--compute-dtype", choices=["fp32", "bf16"],
+                    default="fp32")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, force=True)
+    import jax.numpy as jnp
     kwargs = {}
     if args.bucket_size:
         kwargs["bucket_size"] = args.bucket_size
+    if args.table_dtype != "fp32":
+        kwargs["table_dtype"] = ("auto" if args.table_dtype == "auto"
+                                 else jnp.bfloat16)
+    if args.compute_dtype == "bf16":
+        kwargs["compute_dtype"] = jnp.bfloat16
     bundle = create_model(args.model, **kwargs)
 
     from ..data import synthetic_batch

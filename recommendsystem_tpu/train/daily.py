@@ -78,13 +78,25 @@ def main(argv=None):
                     help="progressive validation: before training each day, "
                          "evaluate the current model on that day's data and "
                          "append metrics to <state-dir>/backtest.jsonl")
+    ap.add_argument("--table-dtype", choices=["fp32", "bf16", "auto"],
+                    default="fp32",
+                    help="embedding table storage (auto: bf16 for dim>=32)")
+    ap.add_argument("--compute-dtype", choices=["fp32", "bf16"],
+                    default="fp32",
+                    help="dense-tower mixed-precision policy")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, force=True)
 
+    import jax.numpy as jnp
     kwargs = {}
     if args.bucket_size:
         kwargs["bucket_size"] = args.bucket_size
+    if args.table_dtype != "fp32":
+        kwargs["table_dtype"] = ("auto" if args.table_dtype == "auto"
+                                 else jnp.bfloat16)
+    if args.compute_dtype == "bf16":
+        kwargs["compute_dtype"] = jnp.bfloat16
     bundle = create_model(args.model, **kwargs)
     parse_fn = build_parse_fn(bundle, args)
 
