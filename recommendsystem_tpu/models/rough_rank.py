@@ -31,15 +31,21 @@ FLAG_SLOT = "4575"
 
 
 class _Tower(nn.Module):
-    """PLE tower -> per-task DNN(16); 2-task version switched by mask."""
+    """PLE tower -> per-task DNN(16); 2-task version switched by mask.
+
+    ``stacked_experts`` swaps in the vmapped PLEStacked (same math, expert
+    params stacked on a leading axis shardable over the model mesh axis —
+    expert parallelism)."""
 
     num_tasks: int
     output_dim: int = 16
     task_names: Tuple[str, ...] = ("td", "hpld")
+    stacked_experts: bool = False
 
     @nn.compact
     def __call__(self, weight_concat, mask_tensor=None, training: bool = False):
-        ple_outputs = rnn.PLE(num_tasks=self.num_tasks, num_shared_experts=4,
+        ple_cls = rnn.PLEStacked if self.stacked_experts else rnn.PLE
+        ple_outputs = ple_cls(num_tasks=self.num_tasks, num_shared_experts=4,
                               num_specific_experts=4, expert_dnn_units=(32,),
                               gate_dnn_units=(), name="ple")(
                                   weight_concat, training=training)
@@ -58,6 +64,7 @@ class DSSMModule(nn.Module):
     item_slots: Tuple[str, ...]
     user_output_dim: int = 16
     item_output_dim: int = 16
+    stacked_experts: bool = False
 
     @nn.compact
     def __call__(self, embs: Dict[str, jnp.ndarray], training: bool = False,
@@ -75,9 +82,11 @@ class DSSMModule(nn.Module):
             axis=-1)
 
         user_emb = _Tower(num_tasks=2, output_dim=self.user_output_dim,
+                          stacked_experts=self.stacked_experts,
                           name="sub_model_user")(user_concat, mask_tensor=flag,
                                                  training=training)
         item_emb = _Tower(num_tasks=1, output_dim=self.item_output_dim,
+                          stacked_experts=self.stacked_experts,
                           name="sub_model_item")(item_concat, training=training)
 
         # teacher (model.py:16-34)
@@ -115,6 +124,7 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
                       table_dtype=None,
                       compute_dtype=None,
                       opt_state_dtype=None,
+                      stacked_experts: bool = False,
                       sparse_lr: float = 1e-3,
                       dense_lr: float = 1e-4) -> ModelBundle:
     if user_slots is None:
@@ -133,7 +143,9 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
 
     return ModelBundle(
         name="rough_rank",
-        module=DSSMModule(user_slots=tuple(user_slots), item_slots=tuple(item_slots)),
+        module=DSSMModule(user_slots=tuple(user_slots),
+                          item_slots=tuple(item_slots),
+                          stacked_experts=stacked_experts),
         embedding=emb,
         losses={"student": L.binary_cross_entropy,
                 "teacher": L.binary_cross_entropy,

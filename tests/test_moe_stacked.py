@@ -92,3 +92,25 @@ def test_ple_stacked_expert_sharding(cpu_devices):
     for a, b in zip(out_repl, out_ep):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_rough_rank_stacked_experts_trains():
+    """Zoo-level expert parallelism: create_model('rough_rank',
+    stacked_experts=True) stacks the PLE expert params on a leading axis and
+    trains end to end."""
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.train import fit
+
+    bundle = create_model("rough_rank", bucket_size=256, stacked_experts=True)
+    batch, dense, labels, w = synthetic_batch(bundle, 16)
+    variables, _ = bundle.init(jax.random.PRNGKey(0), batch)
+    user_ple = variables["params"]["sub_model_user"]["ple"]
+    assert user_ple["experts"]["kernel0"].shape[0] == 4        # shared stack
+    assert user_ple["specific_experts"]["kernel0"].shape[0] == 8  # 2 tasks x 4
+
+    losses = []
+    fit(bundle, (synthetic_batch(bundle, 32, seed=i) for i in range(15)),
+        callbacks=[lambda i, s, info: losses.append(float(info["loss"]))],
+        log_every=0)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
