@@ -35,6 +35,9 @@ class MultiHeadModule(nn.Module):
     slots: Tuple[str, ...]
     deep_hidden_units: Tuple[int, ...] = (32, 16)
     expert_num: int = 7
+    # stack the 8 expert Dense(32) params on a leading axis: one batched
+    # einsum instead of 8 small matmuls, shardable over the model mesh axis
+    stacked_experts: bool = False
 
     @nn.compact
     def __call__(self, embs: Dict[str, jnp.ndarray], training: bool = False,
@@ -56,13 +59,23 @@ class MultiHeadModule(nn.Module):
         result = jnp.concatenate([deep, autoint_out], axis=1)
 
         # 8 experts built, first 7 consumed (multidnn.py:82-92)
-        expert_outs = []
-        for idx in range(self.expert_num + 1):
-            e = rnn.Dense(32, activation="relu", name=f"expert_{idx}_fc1",
-                          kernel_init=_TN_INIT,
-                          kernel_regularizer=(0.0, 0.01))(result)
-            expert_outs.append(e)
-        experts = jnp.stack(expert_outs[0:self.expert_num], axis=1)   # (B, 7, 32)
+        if self.stacked_experts:
+            Stack = nn.vmap(rnn.Dense, in_axes=None, out_axes=0,
+                            axis_size=self.expert_num + 1,
+                            variable_axes={"params": 0, "losses": 0},
+                            split_rngs={"params": True})
+            stacked = Stack(32, activation="relu", name="experts_fc1",
+                            kernel_init=_TN_INIT,
+                            kernel_regularizer=(0.0, 0.01))(result)  # (8, B, 32)
+            experts = jnp.transpose(stacked[:self.expert_num], (1, 0, 2))
+        else:
+            expert_outs = []
+            for idx in range(self.expert_num + 1):
+                e = rnn.Dense(32, activation="relu", name=f"expert_{idx}_fc1",
+                              kernel_init=_TN_INIT,
+                              kernel_regularizer=(0.0, 0.01))(result)
+                expert_outs.append(e)
+            experts = jnp.stack(expert_outs[0:self.expert_num], axis=1)  # (B, 7, 32)
 
         outputs = {}
         for idx, task in enumerate(TASKS):
@@ -84,6 +97,7 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
                       table_dtype=None,
                       compute_dtype=None,
                       opt_state_dtype=None,
+                      stacked_experts: bool = False,
                       sparse_lr: float = 5e-5,
                       dense_lr: float = 1e-5) -> ModelBundle:
     if slots is None:
@@ -100,7 +114,8 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
 
     return ModelBundle(
         name="multi_head",
-        module=MultiHeadModule(slots=slots),
+        module=MultiHeadModule(slots=slots,
+                               stacked_experts=stacked_experts),
         embedding=emb,
         losses={t: L.cross_entropy_per_sample for t in TASKS},
         metrics={t: [M.binary_accuracy(), M.auc(), M.copc()] for t in TASKS},

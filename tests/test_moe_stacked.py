@@ -114,3 +114,33 @@ def test_rough_rank_stacked_experts_trains():
         callbacks=[lambda i, s, info: losses.append(float(info["loss"]))],
         log_every=0)
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_multi_head_stacked_matches_unstacked():
+    """multi_head stacked_experts: same math as the 8 per-expert Denses
+    (incl. the 8-built/7-used quirk) once weights are grafted across."""
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.data import synthetic_batch
+
+    ref = create_model("multi_head", bucket_size=128)
+    st = create_model("multi_head", bucket_size=128, stacked_experts=True)
+    batch, _, _, _ = synthetic_batch(ref, 8)
+    vref, tables = ref.init(jax.random.PRNGKey(0), batch)
+    vst, _ = st.init(jax.random.PRNGKey(0), batch)
+
+    p = jax.tree.map(np.array, vst["params"])
+    for name in vref["params"]:
+        if name.startswith("expert_"):
+            e = int(name.split("_")[1])
+            p["experts_fc1"]["kernel"][e] = np.asarray(vref["params"][name]["kernel"])
+            p["experts_fc1"]["bias"][e] = np.asarray(vref["params"][name]["bias"])
+        else:
+            p[name] = jax.tree.map(np.asarray, vref["params"][name])
+
+    embs = ref.embedding.lookup(ref.embedding.weights(tables), batch)
+    out_ref = ref.module.apply({"params": vref["params"]}, embs, training=False)
+    out_st = st.module.apply({"params": p}, embs, training=False)
+    assert set(out_ref) == set(out_st)
+    for t in out_ref:
+        np.testing.assert_allclose(np.asarray(out_st[t]), np.asarray(out_ref[t]),
+                                   rtol=2e-5, atol=1e-6)
