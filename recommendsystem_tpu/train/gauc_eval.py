@@ -21,12 +21,23 @@ from .step import apply_model, make_predict_step
 from .streaming_gauc import StreamingGauc
 
 
-def make_gauc_eval_step(bundle: ModelBundle, gauc: StreamingGauc,
-                        mode: str = "local"):
+def _per_task(gauc, tasks):
+    """Normalize ``gauc`` to {task: metric}: pass one metric for all tasks,
+    or a dict mixing ROC (``StreamingGauc``) and continuous-label
+    (``StreamingSpearmanGauc``) engines per head."""
+    if isinstance(gauc, dict):
+        return {t: gauc[t] for t in tasks if t in gauc}
+    return {t: gauc for t in tasks}
+
+
+def make_gauc_eval_step(bundle: ModelBundle, gauc, mode: str = "local",
+                        tasks: Optional[tuple] = None):
     """Jitted (state, batch, dense_inputs, labels, user_ids, gauc_states) ->
-    gauc_states: predict + streaming-GAUC update for every binary task head,
-    entirely on device.  ``gauc_states`` is {task: gauc.init()} and is
-    additive, so shard-local states psum/sum into the global one."""
+    gauc_states: predict + streaming-GAUC update per task head, entirely on
+    device.  ``gauc`` is one metric or a {task: metric} dict;
+    ``gauc_states`` is {task: metric.init()} and is additive, so shard-local
+    states psum/sum into the global one."""
+    per_task = _per_task(gauc, tuple(tasks or bundle.metrics))
 
     def step(state: TrainState, batch, dense_inputs, labels, user_ids,
              gauc_states):
@@ -40,7 +51,7 @@ def make_gauc_eval_step(bundle: ModelBundle, gauc: StreamingGauc,
             pred = outputs[task].reshape(outputs[task].shape[0], -1)[:, -1]
             y = jnp.asarray(labels[task])
             y = y.reshape(y.shape[0], -1)[:, -1]
-            out[task] = gauc.update(s, y, pred, user_ids)
+            out[task] = per_task[task].update(s, y, pred, user_ids)
         return out
 
     return jax.jit(step)
@@ -49,24 +60,26 @@ def make_gauc_eval_step(bundle: ModelBundle, gauc: StreamingGauc,
 def evaluate_gauc_streaming(bundle: ModelBundle, dataset: Iterable,
                             state: TrainState, user_key: str = "user_id",
                             mode: str = "local", tasks: Optional[tuple] = None,
-                            gauc: Optional[StreamingGauc] = None
-                            ) -> Dict[str, float]:
+                            gauc=None) -> Dict[str, float]:
     """In-jit variant of :func:`evaluate_gauc` — no host-side prediction dump;
-    the per-user state stays on device as bucketed histograms.  Binary (ROC)
-    heads only; spearman/continuous heads need the offline engine."""
+    the per-user state stays on device as bucketed histograms.  ``gauc``: one
+    metric for every head, or {task: metric} mixing ``StreamingGauc`` (ROC
+    heads) with ``StreamingSpearmanGauc`` (continuous heads, e.g. the
+    staytime EV output with its label/pred ranges)."""
     gauc = gauc or StreamingGauc()
     task_list = tuple(tasks or bundle.metrics)
-    step = make_gauc_eval_step(bundle, gauc, mode=mode)
+    per_task = _per_task(gauc, task_list)
+    step = make_gauc_eval_step(bundle, gauc, mode=mode, tasks=task_list)
     states = None
     for item in dataset:
         batch, dense_inputs, labels, _weight, extras = item
         if states is None:
-            states = {t: gauc.init() for t in task_list if t in labels}
+            states = {t: m.init() for t, m in per_task.items() if t in labels}
         users = jnp.asarray(np.asarray(extras[user_key]))
         states = step(state, batch, dense_inputs, labels, users, states)
     if states is None:
         return {}
-    return {t: float(gauc.compute(s)) for t, s in states.items()}
+    return {t: float(per_task[t].compute(s)) for t, s in states.items()}
 
 
 def evaluate_gauc(bundle: ModelBundle, dataset: Iterable, state: TrainState,

@@ -99,3 +99,81 @@ class StreamingGauc:
         auc = ranksum / jnp.maximum(p_tot * n_tot, 1e-12)
         w = jnp.where((p_tot > 0) & (n_tot > 0), p_tot + n_tot, 0.0)
         return jnp.sum(auc * w), jnp.sum(w)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingSpearmanGauc:
+    """Streaming variant of the continuous-label "consistency AUC"
+    (``pso/util.py:19-56`` / ``float_label_auc``): per user-bucket, the
+    fraction of pairs that are label-inverted when ordered by prediction
+    descending.  The offline metric's offline-only status was a documented
+    gap; this closes it with a per-bucket 2-D (pred bin × label bin)
+    histogram, from which the strict-inversion pair count is a 2-D prefix
+    sum.  Pairs tied in prediction bin get 0.5 inversion credit (the
+    offline metric resolves them by stable sort order — exact agreement
+    whenever predictions land in distinct bins).
+
+    Matches ``search.gauc.group_auc(..., is_spearman=True)`` weighting:
+    per-bucket value × impressions, skipping single-label buckets.
+    """
+
+    num_buckets: int = 1024
+    pred_bins: int = 32
+    label_bins: int = 32
+    pred_lo: float = 0.0
+    pred_hi: float = 1.0
+    label_lo: float = 0.0
+    label_hi: float = 1.0
+    hash_ids: bool = True
+
+    def init(self):
+        return {"hist": jnp.zeros(
+            (self.num_buckets, self.pred_bins, self.label_bins), jnp.float32)}
+
+    def _bin(self, x, lo, hi, n):
+        scale = n / (hi - lo)
+        return jnp.clip(((x - lo) * scale).astype(jnp.int32), 0, n - 1)
+
+    def update(self, state, y_true: jnp.ndarray, y_pred: jnp.ndarray,
+               user_ids: jnp.ndarray, weight: Optional[jnp.ndarray] = None):
+        y = y_true.reshape(-1).astype(jnp.float32)
+        p = y_pred.reshape(-1).astype(jnp.float32)
+        u = user_ids.reshape(-1)
+        if self.hash_ids:
+            u = mix32(u)
+        else:
+            u = u.astype(jnp.uint32)
+        u = (u % jnp.uint32(self.num_buckets)).astype(jnp.int32)
+        pb = self._bin(p, self.pred_lo, self.pred_hi, self.pred_bins)
+        lb = self._bin(y, self.label_lo, self.label_hi, self.label_bins)
+        w = jnp.ones_like(y) if weight is None else \
+            jnp.broadcast_to(weight.reshape(-1), y.shape).astype(jnp.float32)
+        return {"hist": state["hist"].at[u, pb, lb].add(w)}
+
+    def compute_parts(self, state):
+        h = state["hist"]                              # (U, P, L)
+        # elements strictly below in BOTH pred and label bin: inversion pairs
+        # under pred-descending order are (higher pred, higher label) ×
+        # (lower pred, lower label) — count via exclusive 2-D prefix sums
+        cp = jnp.cumsum(h, axis=1)                     # inclusive over pred
+        cpl = jnp.cumsum(cp, axis=2)                   # inclusive over both
+        below_both = cpl - cp - jnp.cumsum(h, axis=2) + h   # exclusive 2-D
+        inversions = jnp.sum(h * below_both, axis=(1, 2))
+        # pairs tied in pred bin with differing label bins get 0.5 credit:
+        # (Σ_p n_p² − Σ_{p,l} h²)/2 counts exactly those pairs
+        tied_pred_diff_label = (jnp.sum(jnp.sum(h, axis=2) ** 2, axis=1)
+                                - jnp.sum(h * h, axis=(1, 2))) / 2.0
+        inversions = inversions + 0.5 * tied_pred_diff_label
+
+        n = jnp.sum(h, axis=(1, 2))
+        total_pairs = n * (n - 1) / 2.0
+        value = inversions / jnp.maximum(total_pairs, 1e-12)
+        # single-label buckets carry zero weight (group_auc skip rule)
+        label_tot = jnp.sum(h, axis=1)                 # (U, L)
+        multi_label = jnp.sum((label_tot > 0).astype(jnp.int32), axis=1) > 1
+        w = jnp.where(multi_label & (n > 1), n, 0.0)
+        return jnp.sum(value * w), jnp.sum(w)
+
+    def compute(self, state) -> jnp.ndarray:
+        total, denom = self.compute_parts(state)
+        return total / jnp.maximum(denom, 1e-12)

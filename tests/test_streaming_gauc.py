@@ -133,3 +133,50 @@ def test_streaming_end_to_end_matches_offline():
     t = "video_id_rank_skip_model"
     assert abs(streaming[t] - offline[t]) < 0.02, (streaming[t], offline[t])
     assert streaming[t] > 0.55
+
+
+class TestStreamingSpearman:
+    def _case(self, n=120, n_users=6, bins=128, seed=0):
+        rng = np.random.default_rng(seed)
+        pb = rng.permutation(bins)[:n]
+        lb = rng.integers(0, bins, n)
+        preds = (pb + 0.5) / bins          # globally distinct pred bins
+        labels = (lb + 0.5) / bins
+        users = rng.integers(0, n_users, n)
+        return labels.astype(np.float32), preds.astype(np.float32), users
+
+    def test_matches_offline_spearman_group_auc(self):
+        from recommendsystem_tpu.train.streaming_gauc import StreamingSpearmanGauc
+        labels, preds, users = self._case()
+        m = StreamingSpearmanGauc(num_buckets=8, pred_bins=128, label_bins=128,
+                                  hash_ids=False)
+        s = m.update(m.init(), jnp.asarray(labels), jnp.asarray(preds),
+                     jnp.asarray(users))
+        got = float(m.compute(s))
+        total, nimp = group_auc(labels, preds, users, is_spearman=True)
+        assert abs(got - total / nimp) < 1e-5, (got, total / nimp)
+
+    def test_tied_pred_half_credit(self):
+        from recommendsystem_tpu.train.streaming_gauc import StreamingSpearmanGauc
+        m = StreamingSpearmanGauc(num_buckets=4, pred_bins=8, label_bins=8,
+                                  hash_ids=False)
+        s = m.update(m.init(), jnp.array([0.1, 0.9]), jnp.array([0.5, 0.5]),
+                     jnp.array([0, 0]))
+        np.testing.assert_allclose(float(m.compute(s)), 0.5)
+
+    def test_additive_and_jit(self):
+        from recommendsystem_tpu.train.streaming_gauc import StreamingSpearmanGauc
+        labels, preds, users = self._case(seed=3)
+        m = StreamingSpearmanGauc(num_buckets=8, pred_bins=64, label_bins=64,
+                                  hash_ids=False)
+        upd = jax.jit(m.update)
+        h = len(labels) // 2
+        s1 = upd(m.init(), jnp.asarray(labels[:h]), jnp.asarray(preds[:h]),
+                 jnp.asarray(users[:h]))
+        s2 = upd(m.init(), jnp.asarray(labels[h:]), jnp.asarray(preds[h:]),
+                 jnp.asarray(users[h:]))
+        full = upd(m.init(), jnp.asarray(labels), jnp.asarray(preds),
+                   jnp.asarray(users))
+        summed = jax.tree.map(lambda a, b: a + b, s1, s2)
+        np.testing.assert_allclose(float(m.compute(summed)),
+                                   float(m.compute(full)), rtol=1e-6)
