@@ -21,10 +21,12 @@ import numpy as np
 
 from recommendsystem_tpu.data import synthetic_batch
 from recommendsystem_tpu.models import create_model
-from recommendsystem_tpu.models.staytime import StaytimeConfig, T_SHORT, T_LONG
+from recommendsystem_tpu.models.staytime import (StaytimeConfig, T_STAY,
+                                                 T_SHORT, T_LONG)
 from recommendsystem_tpu.train import fit
 from recommendsystem_tpu.train.gauc_eval import evaluate_gauc_streaming
-from recommendsystem_tpu.train.streaming_gauc import StreamingGauc
+from recommendsystem_tpu.train.streaming_gauc import (StreamingGauc,
+                                                      StreamingSpearmanGauc)
 
 
 def main():
@@ -60,11 +62,19 @@ def main():
             users = rng.integers(0, args.num_users, args.batch_size)
             yield b, d, l, w, {"user_id": users}
 
+    # mixed engines in ONE jitted pass: ROC GAUC for the binary heads,
+    # spearman (inversion) GAUC for the continuous EV head — the EV output
+    # spans the bin range (-19..180.5 s), the label column is wt seconds
+    # clipped at 160
     gaucs = evaluate_gauc_streaming(
-        bundle, eval_ds(), state, tasks=(T_SHORT, T_LONG),
-        gauc=StreamingGauc(num_buckets=4096, num_bins=256))
-    for task, g in gaucs.items():
-        print(f"GAUC[{task}] = {g:.4f}")
+        bundle, eval_ds(), state, tasks=(T_STAY, T_SHORT, T_LONG),
+        gauc={T_STAY: StreamingSpearmanGauc(pred_lo=-20.0, pred_hi=181.0,
+                                            label_lo=0.0, label_hi=161.0),
+              T_SHORT: StreamingGauc(num_buckets=4096, num_bins=256),
+              T_LONG: StreamingGauc(num_buckets=4096, num_bins=256)})
+    for task, g in sorted(gaucs.items()):
+        kind = "spearman-inv" if task == T_STAY else "roc"
+        print(f"GAUC[{task}] ({kind}) = {g:.4f}")
 
 
 if __name__ == "__main__":
