@@ -47,6 +47,7 @@ class CTRModule(nn.Module):
     output_dnn_hidden: Tuple[int, ...] = (64, 8)
     num_experts: int = 3
     num_tasks: int = 2
+    stacked_experts: bool = False
 
     @nn.compact
     def __call__(self, embs: Dict[str, jnp.ndarray], training: bool = False):
@@ -93,17 +94,21 @@ class CTRModule(nn.Module):
 
         # MMoE experts with per-layer gates over gate features (model_init.py:101-118)
         gate_input = jnp.concatenate(gate_list, axis=1)
-        expert_outs = []
-        for i in range(self.num_experts):
-            expert = result
-            for j, unit in enumerate(self.mmoe_expert_hidden):
-                g = rnn.Dense(unit, activation="relu", name=f"gate_{i}_{j}_1")(gate_input)
-                g = 2 * rnn.Dense(unit, activation="sigmoid", name=f"gate_{i}_{j}_2")(g)
-                expert = rnn.Dense(unit, activation="relu",
-                                   name=f"expert_output_{i}_{j}")(expert)
-                expert = g * expert
-            expert_outs.append(expert)
-        experts = jnp.stack(expert_outs, axis=1)        # (B, E, 256)
+        if self.stacked_experts:
+            experts = rnn.stacked_gated_experts(
+                self.num_experts, self.mmoe_expert_hidden, result, gate_input)
+        else:
+            expert_outs = []
+            for i in range(self.num_experts):
+                expert = result
+                for j, unit in enumerate(self.mmoe_expert_hidden):
+                    g = rnn.Dense(unit, activation="relu", name=f"gate_{i}_{j}_1")(gate_input)
+                    g = 2 * rnn.Dense(unit, activation="sigmoid", name=f"gate_{i}_{j}_2")(g)
+                    expert = rnn.Dense(unit, activation="relu",
+                                       name=f"expert_output_{i}_{j}")(expert)
+                    expert = g * expert
+                expert_outs.append(expert)
+            experts = jnp.stack(expert_outs, axis=1)     # (B, E, 256)
 
         # per-task expert pooling (model_init.py:120-132)
         mmoe_outs = []
@@ -146,6 +151,7 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
                table_dtype=None,
                compute_dtype=None,
                opt_state_dtype=None,
+               stacked_experts: bool = False,
                sparse_lr: float = 5e-5,
                dense_lr: float = 5e-5) -> ModelBundle:
     if cfg is None:
@@ -167,7 +173,8 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
     metrics = [M.binary_accuracy(), M.auc(), M.copc()]
     return ModelBundle(
         name="ctr",
-        module=CTRModule(cfg=cfg, gate_slots=tuple(gate_slots)),
+        module=CTRModule(cfg=cfg, gate_slots=tuple(gate_slots),
+                         stacked_experts=stacked_experts),
         embedding=emb,
         losses={T_CLICK: L.cross_entropy_sum_mean, T_EFFECT: L.cross_entropy_sum_mean},
         metrics={T_CLICK: list(metrics), T_EFFECT: list(metrics)},

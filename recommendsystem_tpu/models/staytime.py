@@ -76,6 +76,7 @@ class StaytimeConfig:
 class StaytimeModule(nn.Module):
     cfg: StaytimeConfig
     deep_hidden_units: Tuple[int, ...] = (256, 128)
+    stacked_experts: bool = False
 
     @nn.compact
     def __call__(self, embs: Dict, training: bool = False):
@@ -113,19 +114,23 @@ class StaytimeModule(nn.Module):
         gate_input = jnp.concatenate(bias_inputs, axis=-1)
 
         # PPNet-gated experts (VideoDnn.py:129-151)
-        expert_outs = []
-        for i in range(c.num_experts):
-            deep = concated
-            for j, unit in enumerate(self.deep_hidden_units):
-                gate = rnn.Dense(unit, activation="relu",
-                                 name=f"gate_{i}_{j}_1")(gate_input)
-                gate = rnn.Dense(unit, activation="sigmoid",
-                                 name=f"gate_{i}_{j}_2")(gate) * 2
-                deep = rnn.Dense(unit, activation="relu",
-                                 name=f"expert_output_{i}_{j}")(deep)
-                deep = gate * deep
-            expert_outs.append(deep)
-        experts = jnp.stack(expert_outs, axis=1)            # (B, E, D)
+        if self.stacked_experts:
+            experts = rnn.stacked_gated_experts(
+                c.num_experts, self.deep_hidden_units, concated, gate_input)
+        else:
+            expert_outs = []
+            for i in range(c.num_experts):
+                deep = concated
+                for j, unit in enumerate(self.deep_hidden_units):
+                    gate = rnn.Dense(unit, activation="relu",
+                                     name=f"gate_{i}_{j}_1")(gate_input)
+                    gate = rnn.Dense(unit, activation="sigmoid",
+                                     name=f"gate_{i}_{j}_2")(gate) * 2
+                    deep = rnn.Dense(unit, activation="relu",
+                                     name=f"expert_output_{i}_{j}")(deep)
+                    deep = gate * deep
+                expert_outs.append(deep)
+            experts = jnp.stack(expert_outs, axis=1)        # (B, E, D)
 
         # MMoE gates (VideoDnn.py:153-164)
         mmoe_outs = []
@@ -168,6 +173,7 @@ class StaytimeModule(nn.Module):
 @register_model("staytime")
 def create_staytime(cfg: Optional[StaytimeConfig] = None,
                     deep_hidden_units: Tuple[int, ...] = (256, 128),
+                    stacked_experts: bool = False,
                     num_shards: int = 1,
                     table_dtype=None,
                     compute_dtype=None,
@@ -191,7 +197,9 @@ def create_staytime(cfg: Optional[StaytimeConfig] = None,
 
     return ModelBundle(
         name="staytime",
-        module=StaytimeModule(cfg=cfg, deep_hidden_units=tuple(deep_hidden_units)),
+        module=StaytimeModule(cfg=cfg,
+                              deep_hidden_units=tuple(deep_hidden_units),
+                              stacked_experts=stacked_experts),
         embedding=emb,
         losses={T_STAY: L.kl_loss,
                 T_SHORT: L.cross_entropy_elementwise,

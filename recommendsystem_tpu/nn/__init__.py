@@ -11,4 +11,5 @@ from .senet import SENet  # noqa: F401
 from .ppnet import GateTower, PPNetGateBank  # noqa: F401
 from .moe import MMOE, PLE  # noqa: F401
 from .similarity import Similarity, kd_loss  # noqa: F401
-from .moe_stacked import MMOEStacked, PLEStacked, expert_shardings  # noqa: F401
+from .moe_stacked import (MMOEStacked, PLEStacked, GatedExpert,  # noqa: F401
+                          expert_shardings, stacked_gated_experts)  # noqa: F401

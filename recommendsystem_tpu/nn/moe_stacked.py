@@ -13,7 +13,7 @@ arrays.  Two payoffs on TPU:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -105,6 +105,41 @@ class PLEStacked(nn.Module):
             task_outs.append(jnp.einsum("bed,be->bd", experts, gate,
                                         preferred_element_type=jnp.float32))
         return task_outs
+
+
+class GatedExpert(nn.Module):
+    """One MMoE expert with per-layer 2*sigmoid gates over a separate gate
+    input — the expert shape shared by the ctr production ranker
+    (``rank/ctr/model_init.py:101-118``) and staytime
+    (``staytime/VideoDnn.py:129-151``).  Factored out so those models'
+    ``stacked_experts`` option can ``nn.vmap`` it into one (E, ...) param
+    stack shardable over the model mesh axis."""
+
+    hidden: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, expert_in, gate_input):
+        from .mlp import Dense
+        expert = expert_in
+        for j, unit in enumerate(self.hidden):
+            g = Dense(unit, activation="relu", name=f"gate_{j}_1")(gate_input)
+            g = 2 * Dense(unit, activation="sigmoid", name=f"gate_{j}_2")(g)
+            expert = Dense(unit, activation="relu",
+                           name=f"expert_output_{j}")(expert)
+            expert = g * expert
+        return expert
+
+
+def stacked_gated_experts(num_experts: int, hidden, expert_in, gate_input,
+                          name: str = "experts"):
+    """(B, D_in) x (B, G) -> (B, E, D_out) with expert params stacked on a
+    leading axis (one batched einsum per layer instead of E small matmuls)."""
+    Stack = nn.vmap(GatedExpert, in_axes=(None, None), out_axes=0,
+                    axis_size=num_experts,
+                    variable_axes={"params": 0, "losses": 0},
+                    split_rngs={"params": True})
+    stacked = Stack(tuple(hidden), name=name)(expert_in, gate_input)
+    return jnp.transpose(stacked, (1, 0, 2))
 
 
 def expert_shardings(params, mesh: Mesh, axis: str = MODEL_AXIS):

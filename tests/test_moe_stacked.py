@@ -144,3 +144,77 @@ def test_multi_head_stacked_matches_unstacked():
     for t in out_ref:
         np.testing.assert_allclose(np.asarray(out_st[t]), np.asarray(out_ref[t]),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_ctr_stacked_matches_unstacked():
+    """ctr stacked_experts: exact match with the per-expert graph (incl. the
+    per-layer 2*sigmoid gates over gate features) after weight grafting."""
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.data import synthetic_batch
+
+    ref = create_model("ctr", bucket_size=128)
+    st = create_model("ctr", bucket_size=128, stacked_experts=True)
+    batch, _, _, _ = synthetic_batch(ref, 8)
+    vref, tables = ref.init(jax.random.PRNGKey(0), batch)
+    vst, _ = st.init(jax.random.PRNGKey(0), batch)
+
+    p = jax.tree.map(np.array, vst["params"])
+    for name, sub in vref["params"].items():
+        if name.startswith("expert_output_") or (
+                name.startswith("gate_") and name.count("_") == 3):
+            # expert_output_{i}_{j} / gate_{i}_{j}_{1,2} -> experts/<layer>[i]
+            parts = name.split("_")
+            if name.startswith("expert_output_"):
+                i, j = int(parts[2]), int(parts[3])
+                tgt = f"expert_output_{j}"
+            else:
+                i, j, k = int(parts[1]), int(parts[2]), int(parts[3])
+                tgt = f"gate_{j}_{k}"
+            for leaf in sub:
+                p["experts"][tgt][leaf][i] = np.asarray(sub[leaf])
+        else:
+            p[name] = jax.tree.map(np.asarray, vref["params"][name])
+
+    embs = ref.embedding.lookup(ref.embedding.weights(tables), batch)
+    out_ref = ref.module.apply({"params": vref["params"]}, embs, training=False)
+    out_st = st.module.apply({"params": p}, embs, training=False)
+    for t in out_ref:
+        np.testing.assert_allclose(np.asarray(out_st[t]), np.asarray(out_ref[t]),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_staytime_stacked_matches_unstacked():
+    """staytime stacked_experts: exact match with the per-expert PPNet-gated
+    towers after weight grafting."""
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.models.staytime import StaytimeConfig
+    from recommendsystem_tpu.data import synthetic_batch
+
+    cfg = StaytimeConfig(bucket_size=128, seq_max_len=4)
+    ref = create_model("staytime", cfg=cfg)
+    st = create_model("staytime", cfg=cfg, stacked_experts=True)
+    batch, _, _, _ = synthetic_batch(ref, 8)
+    vref, tables = ref.init(jax.random.PRNGKey(0), batch)
+    vst, _ = st.init(jax.random.PRNGKey(0), batch)
+
+    p = jax.tree.map(np.array, vst["params"])
+    for name, sub in vref["params"].items():
+        parts = name.split("_")
+        if name.startswith("expert_output_"):
+            i, j = int(parts[2]), int(parts[3])
+            tgt = f"expert_output_{j}"
+        elif name.startswith("gate_") and name.count("_") == 3:
+            i, j, k = int(parts[1]), int(parts[2]), int(parts[3])
+            tgt = f"gate_{j}_{k}"
+        else:
+            p[name] = jax.tree.map(np.asarray, sub)
+            continue
+        for leaf in sub:
+            p["experts"][tgt][leaf][i] = np.asarray(sub[leaf])
+
+    embs = ref.embedding.lookup(ref.embedding.weights(tables), batch)
+    out_ref = ref.module.apply({"params": vref["params"]}, embs, training=False)
+    out_st = st.module.apply({"params": p}, embs, training=False)
+    for t in out_ref:
+        np.testing.assert_allclose(np.asarray(out_st[t]), np.asarray(out_ref[t]),
+                                   rtol=2e-5, atol=1e-5)
