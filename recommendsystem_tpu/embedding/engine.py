@@ -48,35 +48,107 @@ def pad_bucket(bucket_size: int, n_shards: int) -> int:
     return ((bucket_size + n_shards - 1) // n_shards) * n_shards
 
 
-def all_to_all_lookup(w_local: jnp.ndarray, flat_rows: jnp.ndarray,
-                      axis_name: str) -> jnp.ndarray:
-    """Inside-shard_map distributed gather.
+def exchange_capacity(e: int, n: int, factor) -> int:
+    """Per-destination bucket capacity of one all-to-all exchange.
 
-    ``w_local``: (rows_per_shard, D) — this device's contiguous row shard.
-    ``flat_rows``: (E,) int32 global row ids needed by this device.
-    Returns (E, D) embeddings.
-    """
-    n = jax.lax.axis_size(axis_name)
-    e = flat_rows.shape[0]
-    rows_per_shard = w_local.shape[0]
+    ``factor=None`` — exact: capacity E (there are only E entries, so no
+    destination can overflow) — but every device then processes O(n·E)
+    received slots, killing strong scaling.  With splitmix64-hashed ids the
+    owner distribution is uniform, so capacity ``factor·E/n`` (factor ~2)
+    overflows with probability ~exp(-E/n) ≈ 0 and restores O(E) per-device
+    exchange work.  Overflowing entries are dropped and counted, never
+    silently mis-routed."""
+    if factor is None:
+        return e
+    return max(1, min(e, -(-int(e * factor) // n)))
 
+
+def _owner_slots(flat_rows: jnp.ndarray, rows_per_shard: int, n: int,
+                 capacity: int):
+    """Routing plan for a fixed-capacity all-to-all exchange: for each of the
+    E local entries, the owning shard, the shard-local row, a slot
+    ``owner * capacity + rank`` (rank = position within that owner's bucket)
+    and an in-capacity flag (always true when capacity == E)."""
     owner = flat_rows // rows_per_shard                    # (E,)
     local_row = flat_rows % rows_per_shard
     onehot = jax.nn.one_hot(owner, n, axis=0, dtype=jnp.int32)   # (n, E)
     rank = jnp.cumsum(onehot, axis=1) - 1                  # (n, E) rank within owner bucket
     rank_of_i = jnp.take_along_axis(rank, owner[None, :], axis=0)[0]  # (E,)
+    if capacity >= flat_rows.shape[0]:
+        in_cap = None   # statically exact: no overflow possible
+        slot = owner * capacity + rank_of_i
+    else:
+        in_cap = rank_of_i < capacity
+        # overflow -> out-of-range slot, dropped by scatter mode="drop"
+        slot = jnp.where(in_cap, owner * capacity + rank_of_i, n * capacity)
+    return owner, local_row, slot, in_cap
 
-    send_rows = jnp.zeros((n * e,), jnp.int32).at[owner * e + rank_of_i].set(local_row)
-    send_rows = send_rows.reshape(n, e)
+
+def all_to_all_lookup(w_local: jnp.ndarray, flat_rows: jnp.ndarray,
+                      axis_name: str, capacity_factor=None) -> jnp.ndarray:
+    """Inside-shard_map distributed gather.
+
+    ``w_local``: (rows_per_shard, D) — this device's contiguous row shard.
+    ``flat_rows``: (E,) int32 global row ids needed by this device.
+    Returns (E, D) embeddings (zeros for entries dropped by a bounded
+    capacity — see ``exchange_capacity``; never happens when exact).
+    """
+    n = jax.lax.axis_size(axis_name)
+    e = flat_rows.shape[0]
+    cap = exchange_capacity(e, n, capacity_factor)
+    owner, local_row, slot, in_cap = _owner_slots(flat_rows, w_local.shape[0],
+                                                  n, cap)
+    send_rows = jnp.zeros((n * cap,), jnp.int32).at[slot].set(local_row,
+                                                              mode="drop")
+    send_rows = send_rows.reshape(n, cap)
     recv_rows = jax.lax.all_to_all(send_rows, axis_name, split_axis=0,
                                    concat_axis=0, tiled=False)
     # recv_rows[j]: rows of MY shard requested by device j
-    vals = jnp.take(w_local, recv_rows.reshape(-1), axis=0)          # (n*E, D)
-    vals = vals.reshape(n, e, -1)
+    vals = jnp.take(w_local, recv_rows.reshape(-1), axis=0)          # (n*cap, D)
+    vals = vals.reshape(n, cap, -1)
     vals_back = jax.lax.all_to_all(vals, axis_name, split_axis=0,
-                                   concat_axis=0, tiled=False)       # (n, E, D)
-    flat = vals_back.reshape(n * e, -1)
-    return jnp.take(flat, owner * e + rank_of_i, axis=0)             # (E, D)
+                                   concat_axis=0, tiled=False)       # (n, cap, D)
+    flat = vals_back.reshape(n * cap, -1)
+    # overflow slots index out of range: clip (jnp.take would NaN-fill),
+    # then zero via the in-capacity flag
+    out = jnp.take(flat, slot, axis=0, mode="clip")                  # (E, D)
+    if in_cap is not None:
+        out = out * in_cap[:, None].astype(out.dtype)
+    return out
+
+
+def route_grads_to_owners(flat_rows: jnp.ndarray, grads: jnp.ndarray,
+                          mask: jnp.ndarray, rows_per_shard: int,
+                          axis_name: str, capacity_factor=None):
+    """Inside-shard_map transpose of the lookup exchange: ship each (row,
+    grad, weight) triple to the shard that owns the row — the PS *push*.
+
+    ``flat_rows``: (E,) global rows this device touched; ``grads``: (E, D);
+    ``mask``: (E,) {0,1} (0 = padding slot).  Returns the (n·cap,) local
+    rows, (n·cap, D) grads and (n·cap,) mask received by THIS shard from all
+    peers; unfilled exchange slots carry mask 0 / grad 0 / row 0.
+    """
+    n = jax.lax.axis_size(axis_name)
+    e = flat_rows.shape[0]
+    cap = exchange_capacity(e, n, capacity_factor)
+    owner, local_row, slot, in_cap = _owner_slots(flat_rows, rows_per_shard,
+                                                  n, cap)
+    d = grads.shape[-1]
+    if in_cap is not None:
+        mask = mask * in_cap.astype(mask.dtype)
+    send_rows = jnp.zeros((n * cap,), jnp.int32).at[slot].set(local_row,
+                                                              mode="drop")
+    send_mask = jnp.zeros((n * cap,), jnp.float32).at[slot].set(mask,
+                                                                mode="drop")
+    send_grads = jnp.zeros((n * cap, d), grads.dtype).at[slot].set(
+        grads * mask[:, None], mode="drop")
+    a2a = lambda x: jax.lax.all_to_all(x.reshape(n, cap, *x.shape[1:]),
+                                       axis_name, split_axis=0, concat_axis=0,
+                                       tiled=False)
+    recv_rows = a2a(send_rows).reshape(-1)
+    recv_mask = a2a(send_mask).reshape(-1)
+    recv_grads = a2a(send_grads).reshape(-1, d)
+    return recv_rows, recv_grads, recv_mask
 
 
 def _combine(emb: jnp.ndarray, mask: jnp.ndarray, combiner: str) -> jnp.ndarray:
@@ -97,11 +169,17 @@ class EmbeddingFeatures:
 
     def __init__(self, embedding_columns: List[EmbeddingColumn], sparse_opt,
                  name: str = "sparse_emb_input", num_shards: int = 1,
-                 group_tables: bool = False, table_dtype=jnp.float32):
+                 group_tables: bool = False, table_dtype=jnp.float32,
+                 a2a_capacity_factor=None):
         self.name = name
         self.sparse_opt = sparse_opt
         self.num_shards = num_shards
         self.group_tables = group_tables
+        # bounded all-to-all bucket capacity (see exchange_capacity): None =
+        # exact (bit-parity with local mode); ~2.0 = production pods, where
+        # hashed-uniform ids make overflow vanishingly rare and per-device
+        # exchange work drops from O(n·E) to O(E)
+        self.a2a_capacity_factor = a2a_capacity_factor
         # bf16 table storage halves gather bandwidth + table memory; all
         # arithmetic (combine, optimizer) stays fp32, values round-trip
         # through the storage dtype on write.  "auto" picks bf16 for dim>=32
@@ -187,29 +265,12 @@ class EmbeddingFeatures:
         """``weights``: {table_key: (rows, D)}.  ``batch``: {column_key: IdBatch}.
 
         Differentiable w.r.t. ``weights``.  With ``mode='sharded'`` this must
-        run inside shard_map over ``axis_name`` with row-sharded weights.
+        run inside shard_map over ``axis_name`` with row-sharded weights; the
+        exchange is fused per STORAGE group (one all-to-all per physical
+        array, not per column — staytime: 93 columns -> ~2 exchanges).
         """
-        out = {}
-        for key, col in self.columns.items():
-            if key not in batch:
-                continue
-            ids = batch[key]
-            skey, offset, _ = self.table_map[col.categorical_column.key]
-            w = weights[skey]
-            rows = ids.rows + offset if offset else ids.rows
-            b, l = ids.rows.shape
-            if mode == "sharded":
-                emb = all_to_all_lookup(w, rows.reshape(-1), axis_name)
-                emb = emb.reshape(b, l, -1)
-            else:
-                emb = jnp.take(w, rows, axis=0)        # (B, L, D)
-            emb = emb.astype(jnp.float32)
-            if col.is_sequence:
-                emb = emb * ids.mask.astype(emb.dtype)[..., None]
-                out[key] = (emb, ids.mask.astype(bool))
-            else:
-                out[key] = _combine(emb, ids.mask, col.combiner)
-        return out
+        raw = self.gather_raw(weights, batch, mode=mode, axis_name=axis_name)
+        return self.combine_raw(raw, batch)
 
     def lookup_sharded(self, weights: Dict[str, jnp.ndarray],
                        batch: Dict[str, IdBatch], mesh: Mesh,
@@ -237,25 +298,40 @@ class EmbeddingFeatures:
     # and applies unique+segment-sum scatter updates touching only the
     # batch's rows: O(batch ids) HBM traffic, the actual PS push semantics.
 
-    def gather_raw(self, weights: Dict[str, jnp.ndarray],
-                   batch: Dict[str, IdBatch]) -> Dict[str, jnp.ndarray]:
-        """One fused gather per storage array: concat every member column's
-        flat ids, take once, split back."""
+    def _per_storage_columns(self, batch) -> Dict[str, List[str]]:
         per_storage: Dict[str, List[str]] = {}
         for key, col in self.columns.items():
             if key in batch:
                 skey, _, _ = self.table_map[col.categorical_column.key]
                 per_storage.setdefault(skey, []).append(key)
+        return per_storage
+
+    def _storage_flat_rows(self, skey: str, keys: List[str], batch):
+        """Concatenated (offset-applied) flat row ids of every member column
+        of one storage array, in member order."""
+        flat_ids = []
+        for key in keys:
+            _, offset, _ = self.table_map[
+                self.columns[key].categorical_column.key]
+            rows = batch[key].rows
+            flat_ids.append((rows + offset if offset else rows).reshape(-1))
+        return flat_ids
+
+    def gather_raw(self, weights: Dict[str, jnp.ndarray],
+                   batch: Dict[str, IdBatch], mode: str = "local",
+                   axis_name: str = DATA_AXIS) -> Dict[str, jnp.ndarray]:
+        """One fused gather per storage array: concat every member column's
+        flat ids, take (or all-to-all, when sharded) once, split back."""
         raw = {}
-        for skey, keys in per_storage.items():
-            flat_ids = []
-            for key in keys:
-                _, offset, _ = self.table_map[
-                    self.columns[key].categorical_column.key]
-                rows = batch[key].rows
-                flat_ids.append((rows + offset if offset else rows).reshape(-1))
-            gathered = jnp.take(weights[skey], jnp.concatenate(flat_ids),
-                                axis=0).astype(jnp.float32)
+        for skey, keys in self._per_storage_columns(batch).items():
+            flat_ids = self._storage_flat_rows(skey, keys, batch)
+            all_ids = jnp.concatenate(flat_ids)
+            if mode == "sharded":
+                gathered = all_to_all_lookup(weights[skey], all_ids, axis_name,
+                                             self.a2a_capacity_factor)
+            else:
+                gathered = jnp.take(weights[skey], all_ids, axis=0)
+            gathered = gathered.astype(jnp.float32)
             start = 0
             for key, ids in zip(keys, flat_ids):
                 n = ids.shape[0]
@@ -263,6 +339,23 @@ class EmbeddingFeatures:
                 raw[key] = gathered[start:start + n].reshape(b, l, -1)
                 start += n
         return raw
+
+    def gather_raw_sharded(self, weights: Dict[str, jnp.ndarray],
+                           batch: Dict[str, IdBatch], mesh: Mesh,
+                           axis_name: str = DATA_AXIS):
+        """shard_map wrapper of the fused gather: tables row-sharded, batch
+        data-sharded, raw (B, L, D) activations data-sharded."""
+        w_specs = jax.tree.map(lambda _: P(axis_name, None), weights)
+        b_specs = jax.tree.map(lambda _: P(axis_name), batch)
+        out_shape = jax.eval_shape(
+            lambda w, b: self.gather_raw(w, b, mode="local"), weights, batch)
+        out_specs = jax.tree.map(lambda _: P(axis_name), out_shape)
+        fn = jax.shard_map(
+            lambda w, b: self.gather_raw(w, b, mode="sharded",
+                                         axis_name=axis_name),
+            mesh=mesh, in_specs=(w_specs, b_specs), out_specs=out_specs,
+            check_vma=False)
+        return fn(weights, batch)
 
     def combine_raw(self, raw: Dict[str, jnp.ndarray],
                     batch: Dict[str, IdBatch]):
@@ -300,6 +393,39 @@ class EmbeddingFeatures:
             out[tkey] = (rows, grads, mask)
         return out
 
+    def _scatter_update_table(self, tstate: Dict[str, Any], rows, grads,
+                              mask) -> Dict[str, Any]:
+        """unique+segment-sum row update of ONE table: gather the touched
+        rows' weights/opt-state, run the per-row optimizer, delta-scatter
+        back.  ``rows`` are LOCAL to ``tstate['w']`` (global rows in local
+        mode; shard-local rows inside shard_map)."""
+        n = rows.shape[0]
+        u_rows, inv = jnp.unique(rows, return_inverse=True, size=n,
+                                 fill_value=0)
+        grad_u = jnp.zeros((n, grads.shape[-1]), grads.dtype).at[inv].add(grads)
+        count_u = jnp.zeros((n,), jnp.float32).at[inv].add(mask)[:, None]
+        valid = (count_u > 0).astype(jnp.float32)
+
+        w_rows = jnp.take(tstate["w"], u_rows, axis=0).astype(jnp.float32)
+        opt_rows = jax.tree.map(lambda s: jnp.take(s, u_rows, axis=0),
+                                tstate["opt"])
+        w_new, opt_new = self.sparse_opt.update_rows(w_rows, grad_u,
+                                                     opt_rows, valid)
+        w_new = w_new.astype(tstate["w"].dtype)
+        w_rows = w_rows.astype(tstate["w"].dtype)
+        # delta-add scatter: fill-slot duplicates contribute zero, so the
+        # unspecified scatter order cannot corrupt row 0
+        delta = (valid * (w_new.astype(jnp.float32)
+                          - w_rows.astype(jnp.float32))).astype(tstate["w"].dtype)
+        w = tstate["w"].at[u_rows].add(delta)
+        opt = jax.tree.map(
+            lambda s, s_rows, s_new: s.at[u_rows].add(
+                (valid * (s_new.astype(jnp.float32)
+                          - s_rows.astype(jnp.float32))).astype(s.dtype)),
+            tstate["opt"], opt_rows, opt_new)
+        show = tstate["show"].at[u_rows].add(count_u * valid)
+        return {"w": w, "opt": opt, "show": show}
+
     def apply_gradients_scatter(self, state: Dict[str, Dict[str, Any]],
                                 flat: Dict[str, Tuple]) -> Dict[str, Dict[str, Any]]:
         new_state = {}
@@ -308,34 +434,46 @@ class EmbeddingFeatures:
                 new_state[tkey] = tstate
                 continue
             rows, grads, mask = flat[tkey]
-            n = rows.shape[0]
-            u_rows, inv = jnp.unique(rows, return_inverse=True, size=n,
-                                     fill_value=0)
-            grad_u = jnp.zeros((n, grads.shape[-1]), grads.dtype
-                               ).at[inv].add(grads)
-            count_u = jnp.zeros((n,), jnp.float32).at[inv].add(mask)[:, None]
-            valid = (count_u > 0).astype(jnp.float32)
-
-            w_rows = jnp.take(tstate["w"], u_rows, axis=0).astype(jnp.float32)
-            opt_rows = jax.tree.map(lambda s: jnp.take(s, u_rows, axis=0),
-                                    tstate["opt"])
-            w_new, opt_new = self.sparse_opt.update_rows(w_rows, grad_u,
-                                                         opt_rows, valid)
-            w_new = w_new.astype(tstate["w"].dtype)
-            w_rows = w_rows.astype(tstate["w"].dtype)
-            # delta-add scatter: fill-slot duplicates contribute zero, so the
-            # unspecified scatter order cannot corrupt row 0
-            delta = (valid * (w_new.astype(jnp.float32)
-                              - w_rows.astype(jnp.float32))).astype(tstate["w"].dtype)
-            w = tstate["w"].at[u_rows].add(delta)
-            opt = jax.tree.map(
-                lambda s, s_rows, s_new: s.at[u_rows].add(
-                    (valid * (s_new.astype(jnp.float32)
-                              - s_rows.astype(jnp.float32))).astype(s.dtype)),
-                tstate["opt"], opt_rows, opt_new)
-            show = tstate["show"].at[u_rows].add(count_u * valid)
-            new_state[tkey] = {"w": w, "opt": opt, "show": show}
+            new_state[tkey] = self._scatter_update_table(tstate, rows, grads,
+                                                         mask)
         return new_state
+
+    def apply_gradients_scatter_sharded(self, state: Dict[str, Dict[str, Any]],
+                                        raw_grads: Dict[str, jnp.ndarray],
+                                        batch: Dict[str, IdBatch], mesh: Mesh,
+                                        axis_name: str = DATA_AXIS):
+        """The PS *push* on the mesh: each device flattens its batch shard's
+        (B, L, D) activation grads per storage group, routes (row, grad,
+        count) triples to the owning shard over ICI (one fixed-capacity
+        exchange per storage group — the transpose of the fused lookup), and
+        each owner applies a unique+segment-sum per-row update to its local
+        rows.  O(batch ids) HBM traffic — never O(table) — which is what
+        makes multi-billion-row tables trainable (the contract of
+        ``tn.layers.EmbeddingFeatures``'s sparse optimizer,
+        ``rank/ctr/base_model.py:216``)."""
+        t_specs = jax.tree.map(lambda _: P(axis_name, None), state)
+        g_specs = jax.tree.map(lambda _: P(axis_name), raw_grads)
+        b_specs = jax.tree.map(lambda _: P(axis_name), batch)
+
+        def local_fn(tables, graw, b):
+            flat = self.flatten_raw_grads(graw, b)
+            new = {}
+            for tkey, tstate in tables.items():
+                if tkey not in flat:
+                    new[tkey] = tstate
+                    continue
+                rows, grads, mask = flat[tkey]
+                l_rows, l_grads, l_mask = route_grads_to_owners(
+                    rows, grads, mask, tstate["w"].shape[0], axis_name,
+                    self.a2a_capacity_factor)
+                new[tkey] = self._scatter_update_table(tstate, l_rows,
+                                                       l_grads, l_mask)
+            return new
+
+        fn = jax.shard_map(local_fn, mesh=mesh,
+                           in_specs=(t_specs, g_specs, b_specs),
+                           out_specs=t_specs, check_vma=False)
+        return fn(state, raw_grads, batch)
 
     # ---------------- sparse update ----------------
 

@@ -103,13 +103,15 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
     dropout_rng) -> (state, metrics_dict).
 
-    ``sparse_update``: 'scatter' (default on the local path) differentiates
+    ``sparse_update``: 'scatter' (the default in BOTH modes) differentiates
     w.r.t. the gathered embedding activations and applies unique+scatter row
-    updates — O(batch ids) HBM traffic; 'dense' (default when sharded)
-    differentiates through the gather and updates lazily over whole tables.
+    updates — O(batch ids) HBM traffic (when sharded, grads are routed to the
+    owning shard over ICI — the PS push); 'dense' differentiates through the
+    gather and updates lazily over whole tables (O(table) HBM traffic —
+    debugging/reference path only).
     """
     if sparse_update is None:
-        sparse_update = "dense" if mode == "sharded" else "scatter"
+        sparse_update = "scatter"
 
     import optax
 
@@ -144,7 +146,10 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                      dense_inputs, rng):
         rngs = {"dropout": rng}
         weights = bundle.embedding.weights(state.tables)
-        raw = bundle.embedding.gather_raw(weights, batch)
+        if mode == "sharded":
+            raw = bundle.embedding.gather_raw_sharded(weights, batch, mesh)
+        else:
+            raw = bundle.embedding.gather_raw(weights, batch)
 
         def lfn(params, raw_):
             embs = bundle.embedding.combine_raw(raw_, batch)
@@ -159,8 +164,12 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                                                            state.params)
         params = optax.apply_updates(state.params, updates)
 
-        flat = bundle.embedding.flatten_raw_grads(graw, batch)
-        tables = bundle.embedding.apply_gradients_scatter(state.tables, flat)
+        if mode == "sharded":
+            tables = bundle.embedding.apply_gradients_scatter_sharded(
+                state.tables, graw, batch, mesh)
+        else:
+            flat = bundle.embedding.flatten_raw_grads(graw, batch)
+            tables = bundle.embedding.apply_gradients_scatter(state.tables, flat)
 
         new_state = TrainState(params=params, opt_state=opt_state,
                                tables=tables, step=state.step + 1)
@@ -172,14 +181,21 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(bundle: ModelBundle, mode: str = "local") -> Callable:
+def _lookup_for_mode(bundle, weights, batch, mode, mesh):
+    if mode == "sharded":
+        return bundle.embedding.lookup_sharded(weights, batch, mesh)
+    return bundle.embedding.lookup(weights, batch, mode=mode)
+
+
+def make_eval_step(bundle: ModelBundle, mode: str = "local",
+                   mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
     metric_states) -> (metric_states, outputs)."""
 
     def step(state: TrainState, batch, labels, sample_weight, dense_inputs,
              metric_states):
         weights = bundle.embedding.weights(state.tables)
-        embs = bundle.embedding.lookup(weights, batch, mode=mode)
+        embs = _lookup_for_mode(bundle, weights, batch, mode, mesh)
         outputs = apply_model(bundle, state.params, embs, dense_inputs,
                               training=False)
         y = {t: jnp.asarray(labels[t]) for t in bundle.metrics}
@@ -191,10 +207,11 @@ def make_eval_step(bundle: ModelBundle, mode: str = "local") -> Callable:
     return jax.jit(step)
 
 
-def make_predict_step(bundle: ModelBundle, mode: str = "local") -> Callable:
+def make_predict_step(bundle: ModelBundle, mode: str = "local",
+                      mesh: Optional[Mesh] = None) -> Callable:
     def step(state: TrainState, batch, dense_inputs):
         weights = bundle.embedding.weights(state.tables)
-        embs = bundle.embedding.lookup(weights, batch, mode=mode)
+        embs = _lookup_for_mode(bundle, weights, batch, mode, mesh)
         outputs = apply_model(bundle, state.params, embs, dense_inputs,
                               training=False)
         return bundle.predict_view(outputs)

@@ -145,6 +145,52 @@ class TestShardedLookup:
         np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_local),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_bounded_capacity_uniform_ids_exact(self, mesh8):
+        """capacity_factor=2 with uniform ids never overflows: identical to
+        the exact exchange (the production-pod configuration — per-device
+        exchange work O(E) instead of O(n·E))."""
+        from recommendsystem_tpu.embedding.engine import all_to_all_lookup
+        n, dim = 8, 4
+        rows_total = 64 * n
+        w = jax.random.normal(jax.random.PRNGKey(0), (rows_total, dim))
+        e = 64 * n   # per-device E = 64; capacity = ceil(2*64/8) = 16, mean 8
+        flat_rows = jax.random.randint(jax.random.PRNGKey(1), (e,), 0,
+                                       rows_total)
+        local = jnp.take(w, flat_rows, axis=0)
+        fn = jax.shard_map(
+            lambda wl, r: all_to_all_lookup(wl, r, "data", capacity_factor=2.0),
+            mesh=mesh8, in_specs=(P("data", None), P("data")),
+            out_specs=P("data"), check_vma=False)
+        np.testing.assert_allclose(np.asarray(fn(w, flat_rows)),
+                                   np.asarray(local), rtol=1e-6)
+
+    def test_bounded_capacity_skewed_ids_drop_to_zero(self, mesh8):
+        """Pathological skew (every id owned by shard 0) with a bounded
+        capacity: in-capacity entries are exact, overflowed entries come back
+        as zeros — dropped and detectable, never mis-routed into another
+        row."""
+        from recommendsystem_tpu.embedding.engine import all_to_all_lookup
+        n, dim = 8, 4
+        rows_total = 64 * n
+        w = jax.random.normal(jax.random.PRNGKey(0), (rows_total, dim))
+        e = 16 * n   # per-device E = 16, capacity = ceil(2*16/8) = 4
+        flat_rows = jax.random.randint(jax.random.PRNGKey(1), (e,), 0, 8)
+        local = np.asarray(jnp.take(w, flat_rows, axis=0))
+        fn = jax.shard_map(
+            lambda wl, r: all_to_all_lookup(wl, r, "data", capacity_factor=2.0),
+            mesh=mesh8, in_specs=(P("data", None), P("data")),
+            out_specs=P("data"), check_vma=False)
+        out = np.asarray(fn(w, flat_rows))
+        # each device's first 4 entries (per owner-0 bucket) are exact
+        per_dev = 16
+        for d in range(n):
+            seg = slice(d * per_dev, d * per_dev + 4)
+            np.testing.assert_allclose(out[seg], local[seg], rtol=1e-6)
+        dropped = np.all(out == 0, axis=1)
+        kept = ~dropped
+        np.testing.assert_allclose(out[kept], local[kept], rtol=1e-6)
+        assert dropped.sum() == (per_dev - 4) * n   # overflow beyond capacity
+
     def test_engine_sharded_mode(self, mesh8):
         eng = make_engine(bucket=64, num_shards=8)
         state = eng.init(jax.random.PRNGKey(0))
