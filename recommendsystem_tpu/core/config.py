@@ -79,6 +79,15 @@ class ModelConfig:
     slot_intervals: Dict[str, SlotIntervals] = dataclasses.field(default_factory=dict)
     bias_intervals: Dict[str, Dict[str, List[int]]] = dataclasses.field(default_factory=dict)
     model_param: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # feature_id -> shared table slot: distinct input columns whose ids index
+    # ONE embedding table (the reference's hardcoded ``featureid_to_slot``,
+    # ``rank/ctr/base_model.py:89-107``, made config-driven here)
+    feature_id_remap: Dict[str, str] = dataclasses.field(default_factory=dict)
+
+    def table_slot(self, slot_id: str) -> str:
+        """The embedding-table key a feature slot binds to (identity unless
+        remapped)."""
+        return self.feature_id_remap.get(slot_id, slot_id)
 
     @property
     def max_embed_size(self) -> int:
@@ -100,7 +109,9 @@ class ModelConfig:
         return sorted(f.slot_id for f in self.dense_features.values())
 
 
-def load_model_parameter_json(path_or_dict) -> ModelConfig:
+def load_model_parameter_json(path_or_dict,
+                              feature_id_remap: Optional[Dict[str, str]] = None
+                              ) -> ModelConfig:
     """Parse the reference's ``model_parameter.json`` schema into a ModelConfig.
 
     Mirrors ``rank/ctr/base_model.py:35-86`` exactly, including:
@@ -110,6 +121,11 @@ def load_model_parameter_json(path_or_dict) -> ModelConfig:
       ``intervals``; their span is recorded per ``bias_type``;
     - a sequence feature must own a fresh slot (raises otherwise,
       ``base_model.py:64-67``).
+
+    ``feature_id_remap`` (or a ``"featureid_to_slot"`` key in the JSON itself)
+    maps feature slot ids onto shared embedding tables — the reference keeps
+    this as a hardcoded dict (``base_model.py:89-98``); here it is part of
+    the config.
     """
     if isinstance(path_or_dict, (str, bytes)):
         with open(path_or_dict) as f:
@@ -118,6 +134,9 @@ def load_model_parameter_json(path_or_dict) -> ModelConfig:
         raw = path_or_dict
 
     cfg = ModelConfig(model_param=raw.get("model_param", {}))
+    cfg.feature_id_remap = {str(k): str(v) for k, v in
+                            (feature_id_remap
+                             or raw.get("featureid_to_slot", {})).items()}
     fs = raw["feature_slot"]
 
     for name, spec in fs.get("sparse_feature", {}).items():

@@ -83,7 +83,8 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
     model_param = {**DEFAULT_MODEL_PARAM, **(model_param or {})}
 
     dim = cfg.max_embed_size
-    cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
+    cols = [embedding_column(category_column(cfg.table_slot(slot), bucket_size),
+                             dim, combiner="mean", name=slot)
             for slot in cfg.sparse_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr,
                                        **({} if opt_state_dtype is None

@@ -37,6 +37,12 @@ T_EFFECT = "video_id_rank_hp_ctr_addfeasetwo_effect_click"
 REG = (1e-5, 1e-5)
 PPNET_SPLITS = (256, 64, 8, 256, 64, 8, 32, 16)
 
+# the production gate-feature slot list (``rank/ctr/base_model.py:135``; the
+# duplicate '1578' is the reference's — membership test only, so harmless)
+REFERENCE_GATE_SLOTS = ('1568', '1570', '1578', '1591', '1593', '1614',
+                        '1736', '1737', '2039', '2599', '3051', '3303',
+                        '3389', '1576', '1577', '1578')
+
 
 class CTRModule(nn.Module):
     cfg: ModelConfig
@@ -162,7 +168,10 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
         gate_slots = tuple(cfg.sparse_slots[:8])
 
     dim = cfg.max_embed_size
-    cols = [embedding_column(category_column(slot, bucket_size), dim, combiner="mean")
+    # table binding goes through the config's feature_id remap: slots mapped
+    # to the same table share one embedding space (base_model.py:89-107)
+    cols = [embedding_column(category_column(cfg.table_slot(slot), bucket_size),
+                             dim, combiner="mean", name=slot)
             for slot in cfg.sparse_slots]
     emb = EmbeddingFeatures(cols, SparseAdam(learning_rate=sparse_lr,
                                        **({} if opt_state_dtype is None
@@ -182,3 +191,14 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
         config=cfg,
         compute_dtype=compute_dtype,
     )
+
+
+def production_ctr(model_parameter_path: str, **kwargs) -> ModelBundle:
+    """Build the flagship ranker straight from a real ``model_parameter.json``
+    (the reference's 212-feature / 176-slot production config,
+    ``rank/ctr/model_parameter.json``), with the production gate-slot list
+    (``base_model.py:135``) and any ``featureid_to_slot`` remap in the file."""
+    from ..core.config import load_model_parameter_json
+    cfg = load_model_parameter_json(model_parameter_path)
+    kwargs.setdefault("gate_slots", REFERENCE_GATE_SLOTS)
+    return create_ctr(cfg=cfg, **kwargs)
