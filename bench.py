@@ -153,16 +153,21 @@ def get_tf_baseline() -> float:
 
 
 def bench_model(name: str, batch: int, steps: int = 20,
-                ids_per_feature=5, bundle=None, **kwargs) -> float:
+                ids_per_feature=5, bundle=None, scan_steps: int = 0,
+                **kwargs) -> float:
     """Train-throughput for any zoo model (reported to stderr with --all).
 
     ``ids_per_feature``: int, or per-column dict (unlisted columns -> 1) to
-    model realistic mostly-single-valued VarLen widths."""
+    model realistic mostly-single-valued VarLen widths.
+    ``scan_steps=K`` drives training with the lax.scan multi-step step (one
+    dispatch per K steps — the production on-device loop); 0 = per-step
+    dispatch (which on THIS tunneled host mostly measures RPC latency)."""
     import jax
+    import jax.numpy as jnp
     from recommendsystem_tpu.data import synthetic_batch
     from recommendsystem_tpu.models import create_model
     from recommendsystem_tpu.train import create_train_state
-    from recommendsystem_tpu.train.step import make_train_step
+    from recommendsystem_tpu.train.step import make_scan_train_step, make_train_step
 
     if bundle is None:
         bundle = create_model(name, **kwargs)
@@ -173,6 +178,26 @@ def bench_model(name: str, batch: int, steps: int = 20,
     weight = jax.device_put(weight)
     dense = jax.device_put(dense) if dense is not None else None
     state = create_train_state(bundle, jax.random.PRNGKey(0), b, dense)
+    if scan_steps:
+        K = scan_steps
+        tile = lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x)[None], (K,) + jnp.asarray(x).shape), t)
+        sb, sl, sw = tile(b), tile(labels), tile(weight)
+        sd = tile(dense) if dense is not None else None
+        rngs = jax.random.split(jax.random.PRNGKey(1), K)
+        scan = make_scan_train_step(bundle)
+        state, _ = scan(state, sb, sl, sw, sd, rngs)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        calls = max(1, steps // K)
+        for _ in range(calls):
+            state, _ = scan(state, sb, sl, sw, sd, rngs)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        rate = batch * K * calls / dt
+        log(f"{name} scan[{K}]: {calls}x{K} steps of {batch} in {dt:.3f}s -> "
+            f"{rate:,.0f} examples/s ({dt / (K * calls) * 1e3:.2f} ms/step)")
+        return rate
     step = make_train_step(bundle)
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
@@ -236,15 +261,17 @@ def bench_all():
         bench_model("ctr_production212", 8192, steps=10,
                     ids_per_feature={},
                     bundle=production_ctr(ref_json, bucket_size=32768, **extra))
-    bench_model("ctr", 32768, bucket_size=265000, **extra)
-    bench_model("multi_head", 32768, bucket_size=265000, **extra)
-    bench_model("finish", 32768, bucket_size=25600, **extra)
-    bench_model("rough_rank", 32768, bucket_size=25600, **extra)
-    bench_model("staytime", 16384, steps=10, **st_extra)  # AdaGrad: scalar state
+    scan = 8 if "--scan" in sys.argv else 0
+    bench_model("ctr", 32768, bucket_size=265000, scan_steps=scan, **extra)
+    bench_model("multi_head", 32768, bucket_size=265000, scan_steps=scan, **extra)
+    bench_model("finish", 32768, bucket_size=25600, scan_steps=scan, **extra)
+    bench_model("rough_rank", 32768, bucket_size=25600, scan_steps=scan, **extra)
+    bench_model("staytime", 16384, steps=10, scan_steps=scan, **st_extra)  # AdaGrad: scalar state
     if "--realistic-ids" in sys.argv:
         # mostly-single-valued VarLen widths (production-like), vs the
         # worst-case uniform 5-id padding above
-        bench_model("staytime", 16384, steps=10, ids_per_feature={}, **st_extra)
+        bench_model("staytime", 16384, steps=10, ids_per_feature={},
+                    scan_steps=scan, **st_extra)
 
 
 def bench_sharded(n: int):

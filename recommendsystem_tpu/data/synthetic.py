@@ -50,6 +50,10 @@ def synthetic_batch(bundle: ModelBundle, batch_size: int, seed: int = 0,
         rows = ((centers[:, None] + noise) % bucket).astype(np.int32)
         lens = rng.integers(1, length + 1, size=(batch_size,))
         mask = (np.arange(length)[None, :] < lens[:, None]).astype(np.float32)
+        # masked positions carry id 0, exactly like the real parse path
+        # (``data/parse.py::pad_ids`` zero-fills) — matters for benchmarks:
+        # padding rows are duplicate row-0 reads, not random table reads
+        rows = rows * mask.astype(np.int32)
         batch[key] = IdBatch(rows=rows, mask=mask)
 
     dense_inputs = None

@@ -180,6 +180,11 @@ class EmbeddingFeatures:
         # hashed-uniform ids make overflow vanishingly rare and per-device
         # exchange work drops from O(n·E) to O(E)
         self.a2a_capacity_factor = a2a_capacity_factor
+        # dedup ids per storage group before the gather: the padded id
+        # stream repeats rows (padding + hot ids), so gathering unique rows
+        # from the big table and re-expanding from the compacted copy trades
+        # a sort for table-random HBM reads.  Opt-in; numerics identical.
+        self.dedup_gather = False
         # bf16 table storage halves gather bandwidth + table memory; all
         # arithmetic (combine, optimizer) stays fp32, values round-trip
         # through the storage dtype on write.  "auto" picks bf16 for dim>=32
@@ -326,11 +331,17 @@ class EmbeddingFeatures:
         for skey, keys in self._per_storage_columns(batch).items():
             flat_ids = self._storage_flat_rows(skey, keys, batch)
             all_ids = jnp.concatenate(flat_ids)
+            inv = None
+            if self.dedup_gather:
+                all_ids, inv = jnp.unique(all_ids, return_inverse=True,
+                                          size=all_ids.shape[0], fill_value=0)
             if mode == "sharded":
                 gathered = all_to_all_lookup(weights[skey], all_ids, axis_name,
                                              self.a2a_capacity_factor)
             else:
                 gathered = jnp.take(weights[skey], all_ids, axis=0)
+            if inv is not None:
+                gathered = jnp.take(gathered, inv, axis=0)
             gathered = gathered.astype(jnp.float32)
             start = 0
             for key, ids in zip(keys, flat_ids):
@@ -509,22 +520,42 @@ class EmbeddingFeatures:
                                "show": tstate["show"] + counts[tkey]}
         return new_state
 
-    def evict(self, state, min_show: float):
-        """feature_drop_show analog: re-zero rows seen fewer than min_show
-        times (offline maintenance hook; -1 disables, matching
-        ``rank/multi_head/multidnn.py:230-234``)."""
+    def evict(self, state, min_show: float, rng=None):
+        """feature_drop_show analog (``rank/multi_head/multidnn.py:230-234``;
+        -1 disables): rows seen fewer than ``min_show`` times are REPLACED BY
+        FRESH ROWS — re-drawn from the optimizer's ``table_init`` with
+        re-initialized per-row optimizer state and a zeroed show counter — so
+        a re-touched feasign is statistically indistinguishable from one
+        created on first touch (the PS create-on-touch contract)."""
         if min_show < 0:
             return state
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         out = {}
-        for tkey, tstate in state.items():
-            keep = (tstate["show"] >= min_show).astype(jnp.float32)
+        for tkey, tstate in sorted(state.items()):
+            rows, dim = tstate["w"].shape
+            keep = tstate["show"] >= min_show                      # (rows, 1)
+            rng, sub = jax.random.split(rng)
+            fresh_w = self.sparse_opt.table_init(sub, (rows, dim),
+                                                 dtype=tstate["w"].dtype)
+            fresh_opt = self.sparse_opt.init_state((rows, dim))
             out[tkey] = {
-                "w": tstate["w"] * keep,
-                "opt": jax.tree.map(lambda x: x * keep if x.ndim == 2 else x,
-                                    tstate["opt"]),
-                "show": tstate["show"] * keep[:, :1] if keep.ndim == 2 else tstate["show"],
+                "w": jnp.where(keep, tstate["w"], fresh_w),
+                "opt": jax.tree.map(
+                    lambda cur, init: jnp.where(keep, cur,
+                                                init.astype(cur.dtype)),
+                    tstate["opt"], fresh_opt),
+                "show": jnp.where(keep, tstate["show"], 0.0),
             }
         return out
+
+    def maybe_evict(self, state, rng=None):
+        """In-training admission hook: applies ``evict`` at the optimizer's
+        own ``feature_drop_show`` threshold (``tn.core.AdaGrad(...,
+        feature_drop_show)``, ``staytime/VideoDnn.py:233``); no-op for
+        optimizers without one or with -1."""
+        thresh = getattr(self.sparse_opt, "feature_drop_show", -1.0)
+        return self.evict(state, thresh, rng)
 
     def weights(self, state):
         return {tkey: t["w"] for tkey, t in state.items()}

@@ -26,7 +26,8 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 0,
         resume: bool = False, profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 20), history_path: Optional[str] = None,
-        nan_guard: str = "warn", callbacks=()) -> TrainState:
+        nan_guard: str = "warn", callbacks=(),
+        evict_every: int = 0) -> TrainState:
     """``dataset`` yields (batch, dense_inputs, labels, sample_weight).
 
     ``resume=True`` restores the latest checkpoint under ``checkpoint_dir``
@@ -36,6 +37,8 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
     observability the reference lacks entirely (SURVEY §5).  ``nan_guard``
     ('off'|'warn'|'raise') checks loss finiteness at each log point (checked
     there rather than every step to avoid a per-step device sync).
+    ``evict_every=N`` applies the optimizer's ``feature_drop_show``
+    admission/eviction every N steps (fresh-row resurrect semantics).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(bundle, mesh=mesh, mode=mode)
@@ -98,6 +101,14 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
                 rec.update({k: float(v) for k, v in info.items()})
                 with open(history_path, "a") as hf:
                     hf.write(json.dumps(rec) + "\n")
+        if evict_every and i % evict_every == 0:
+            # in-training admission/eviction at the optimizer's own
+            # feature_drop_show threshold (tn.core.AdaGrad semantics)
+            rng, evict_rng = jax.random.split(rng)
+            state = TrainState(params=state.params, opt_state=state.opt_state,
+                               tables=bundle.embedding.maybe_evict(
+                                   state.tables, evict_rng),
+                               step=state.step)
         if checkpoint_dir and checkpoint_every and i % checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, state)
         for cb in callbacks:

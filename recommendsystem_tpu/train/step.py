@@ -99,7 +99,8 @@ def _model_outputs_and_loss(bundle, params, embs, labels, sample_weight,
 
 def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                     mode: str = "local", donate: bool = True,
-                    sparse_update: Optional[str] = None) -> Callable:
+                    sparse_update: Optional[str] = None,
+                    _body_only: bool = False) -> Callable:
     """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
     dropout_rng) -> (state, metrics_dict).
 
@@ -178,7 +179,37 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
         return new_state, info
 
     step = step_scatter if sparse_update == "scatter" else step_dense
+    if _body_only:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
+                         mode: str = "local", donate: bool = True,
+                         sparse_update: Optional[str] = None) -> Callable:
+    """Multi-step train driver: ONE dispatch runs ``lax.scan`` over K stacked
+    batches — the TPU-idiomatic training loop (drive from the device, not
+    per-step host dispatch; the single-step path here is dispatch-latency
+    bound, ~0.2-0.3 ms/call through this host).
+
+    Returns jitted (state, batches, labels, sample_weights, dense_inputs,
+    rngs) -> (state, stacked_metrics) where every data argument carries a
+    leading K axis (``rngs``: (K, 2) from ``jax.random.split``) and
+    ``stacked_metrics`` holds each step's scalars, e.g. ``info["loss"][k]``.
+    Numerically identical to K sequential ``make_train_step`` calls (tested).
+    """
+    body = make_train_step(bundle, mesh=mesh, mode=mode, donate=False,
+                           sparse_update=sparse_update, _body_only=True)
+
+    def scan_fn(state, batches, labels, sample_weights, dense_inputs, rngs):
+        def step(s, xs):
+            bt, lb, w, d, rng = xs
+            return body(s, bt, lb, w, d, rng)
+        return jax.lax.scan(step, state,
+                            (batches, labels, sample_weights, dense_inputs,
+                             rngs))
+
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
 def _lookup_for_mode(bundle, weights, batch, mode, mesh):

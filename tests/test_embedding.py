@@ -113,10 +113,59 @@ class TestSparseOptimizers:
         eng = make_engine(opt=SparseAdaGrad())
         state = eng.init(jax.random.PRNGKey(0))
         state["f1"]["show"] = state["f1"]["show"].at[5].set(10.0)
-        out = eng.evict(state, min_show=1.0)
+        out = eng.evict(state, min_show=1.0, rng=jax.random.PRNGKey(3))
         w = np.asarray(out["f1"]["w"])
-        assert np.abs(w[5]).sum() > 0
-        assert np.abs(w[6]).sum() == 0.0
+        w0 = np.asarray(state["f1"]["w"])
+        np.testing.assert_array_equal(w[5], w0[5])       # survivor untouched
+        assert np.any(w[6] != w0[6])                     # evicted re-drawn...
+        assert np.abs(w[6]).sum() > 0                    # ...not zeroed
+
+    def test_evicted_row_resurrects_as_fresh(self):
+        """An evict-then-retouch row must be statistically indistinguishable
+        from a fresh row: initial_scale uniform re-init, g2sum back to
+        initial_g2sum, show 0 — so its first post-evict update takes the same
+        step a brand-new feasign would (VERDICT r1 weak #5)."""
+        opt = SparseAdaGrad(initial_g2sum=0.1, initial_scale=0.1)
+        eng = make_engine(opt=opt)
+        state = eng.init(jax.random.PRNGKey(0))
+        # train a few rows so their g2sum/show move
+        rows = jnp.array([[6, 6, 6, 6]], jnp.int32)
+        mask = jnp.ones((1, 4), jnp.float32)
+        batch = {"f1": __import__("recommendsystem_tpu.embedding.engine",
+                                  fromlist=["IdBatch"]).IdBatch(rows, mask)}
+        raw = eng.gather_raw(eng.weights(state), batch)
+        graw = jax.grad(lambda r: jnp.sum(eng.combine_raw(r, batch)["f1"] ** 2))(raw)
+        state = eng.apply_gradients_scatter(
+            state, eng.flatten_raw_grads(graw, batch))
+        assert float(state["f1"]["opt"]["g2sum"][6, 0]) > 0.1
+        assert float(state["f1"]["show"][6, 0]) > 0
+
+        out = eng.evict(state, min_show=100.0, rng=jax.random.PRNGKey(9))
+        g2 = np.asarray(out["f1"]["opt"]["g2sum"])
+        np.testing.assert_allclose(g2, 0.1)              # reset to initial
+        np.testing.assert_array_equal(np.asarray(out["f1"]["show"]), 0.0)
+        w = np.asarray(out["f1"]["w"])
+        assert np.all(np.abs(w) <= 0.1)                  # initial_scale range
+        assert np.abs(w).mean() > 0.01                   # actually random
+        # distribution check: evicted rows look like a fresh init
+        fresh = np.asarray(opt.table_init(jax.random.PRNGKey(11), w.shape))
+        assert abs(np.abs(w).mean() - np.abs(fresh).mean()) < 0.01
+
+    def test_maybe_evict_uses_feature_drop_show(self):
+        eng = make_engine(opt=SparseAdaGrad(feature_drop_show=1.0))
+        state = eng.init(jax.random.PRNGKey(0))
+        state["f1"]["show"] = state["f1"]["show"].at[5].set(10.0)
+        out = eng.maybe_evict(state, rng=jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(np.asarray(out["f1"]["w"][5]),
+                                      np.asarray(state["f1"]["w"][5]))
+        assert np.any(np.asarray(out["f1"]["w"][6])
+                      != np.asarray(state["f1"]["w"][6]))
+        # no threshold -> no-op
+        eng2 = make_engine(opt=SparseAdaGrad())
+        st2 = eng2.init(jax.random.PRNGKey(0))
+        out2 = eng2.maybe_evict(st2)
+        np.testing.assert_array_equal(np.asarray(out2["f1"]["w"]),
+                                      np.asarray(st2["f1"]["w"]))
 
 
 class TestShardedLookup:

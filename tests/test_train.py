@@ -322,3 +322,44 @@ def test_export_all_models(model, tmp_path):
     for t in want:
         np.testing.assert_allclose(np.asarray(got[t]), np.asarray(want[t]),
                                    rtol=1e-5, err_msg=f"{model}/{t}")
+
+
+def test_scan_train_step_matches_sequential():
+    """lax.scan multi-step driver == K sequential single steps (same rngs,
+    same batches) on state, tables, and per-step losses."""
+    import jax.numpy as jnp
+    from recommendsystem_tpu.train.step import make_scan_train_step
+
+    bundle = create_model("autoint", bucket_size=256)
+    K = 4
+    seqs = [synthetic_batch(bundle, 16, seed=i) for i in range(K)]
+    state = create_train_state(bundle, jax.random.PRNGKey(0), seqs[0][0])
+    rngs = jax.random.split(jax.random.PRNGKey(7), K)
+
+    step = make_train_step(bundle, donate=False)
+    st_seq = state
+    seq_losses = []
+    for i in range(K):
+        b, d, l, w = seqs[i]
+        st_seq, info = step(st_seq, b, l, w, None, rngs[i])
+        seq_losses.append(float(info["loss"]))
+
+    stack = lambda leaves: jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+    sb = stack([s[0] for s in seqs])
+    sl = stack([{k: jnp.asarray(v) for k, v in s[2].items()} for s in seqs])
+    sw = jnp.stack([jnp.asarray(s[3]) for s in seqs])
+    scan_step = make_scan_train_step(bundle, donate=False)
+    st_scan, infos = scan_step(state, sb, sl, sw, None, rngs)
+
+    np.testing.assert_allclose(np.asarray(infos["loss"]), seq_losses, rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(st_seq.params),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(st_scan.params),
+                   key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6,
+                                   atol=1e-7, err_msg=str(ka))
+    for tkey in st_seq.tables:
+        np.testing.assert_allclose(np.asarray(st_scan.tables[tkey]["w"]),
+                                   np.asarray(st_seq.tables[tkey]["w"]),
+                                   rtol=1e-6, atol=1e-7)
