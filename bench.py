@@ -21,6 +21,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
+
+def _enable_compile_cache():
+    """Persistent XLA executable cache: scan-step compiles through the
+    remote-compile tunnel run minutes; cached reruns are instant."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 BATCH = 65536   # large-batch production regime: saturates HBM bandwidth
 FIELDS = 24
 EMB_DIM = 8
@@ -353,6 +363,7 @@ def bench_sharded(n: int):
 
 
 def main():
+    _enable_compile_cache()
     if "--sharded" in sys.argv:
         n = int(sys.argv[sys.argv.index("--sharded") + 1])
         bench_sharded(n)

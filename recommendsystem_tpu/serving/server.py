@@ -73,8 +73,25 @@ class ScoringService:
             values = [r.get(fkey, []) for r in rows]
             values += [[]] * (bucket - len(values))
             max_len = col.seq_max_len if col.is_sequence else self.ids_per_feature
+            # never silently truncate a request: an over-wide row would lose
+            # ids and return a plausible-but-wrong score
+            for i, v in enumerate(values):
+                if len(v) > max_len:
+                    raise ValueError(
+                        f"row {i}: feature {fkey!r} has {len(v)} ids, compiled "
+                        f"width is {max_len} (split the request or raise "
+                        f"ids_per_feature/seq_max_len)")
             batch[key] = pad_ids(values, max_len, col.categorical_column.hash_ids)
         return batch
+
+    def warmup(self) -> None:
+        """Pre-compile every batch-bucket executable so the first real
+        request never pays an XLA compile (fresh-server P99)."""
+        import time
+        for b in self.buckets:
+            t0 = time.perf_counter()
+            self.score([{} for _ in range(b)])
+            log.info("warmed bucket %d in %.1fs", b, time.perf_counter() - t0)
 
     def score(self, rows: List[Dict[str, List[int]]],
               dense: Optional[Dict[str, List[float]]] = None
@@ -175,6 +192,7 @@ def main(argv=None):
         log.info("restored checkpoint at step %d", int(state.step))
 
     service = ScoringService(bundle, state, max_batch=args.max_batch)
+    service.warmup()
     serve(service, port=args.port).serve_forever()
 
 

@@ -24,9 +24,15 @@ from .streaming_gauc import StreamingGauc
 def _per_task(gauc, tasks):
     """Normalize ``gauc`` to {task: metric}: pass one metric for all tasks,
     or a dict mixing ROC (``StreamingGauc``) and continuous-label
-    (``StreamingSpearmanGauc``) engines per head."""
+    (``StreamingSpearmanGauc``) engines per head.  A dict must cover every
+    requested task — a typo'd key would otherwise silently drop a head from
+    the returned metrics."""
     if isinstance(gauc, dict):
-        return {t: gauc[t] for t in tasks if t in gauc}
+        missing = [t for t in tasks if t not in gauc]
+        if missing:
+            raise KeyError(f"gauc dict has no metric for task(s) {missing}; "
+                           f"provided keys: {sorted(gauc)}")
+        return {t: gauc[t] for t in tasks}
     return {t: gauc for t in tasks}
 
 
@@ -70,14 +76,22 @@ def evaluate_gauc_streaming(bundle: ModelBundle, dataset: Iterable,
     task_list = tuple(tasks or bundle.metrics)
     per_task = _per_task(gauc, task_list)
     step = make_gauc_eval_step(bundle, gauc, mode=mode, tasks=task_list)
-    states = None
+    # states come from the REQUESTED task list, not the first batch's label
+    # keys: a task appearing only in later batches is still evaluated, and a
+    # task missing from some batch fails loudly instead of KeyError-ing
+    # inside the jitted step
+    states = {t: m.init() for t, m in per_task.items()}
+    saw_data = False
     for item in dataset:
         batch, dense_inputs, labels, _weight, extras = item
-        if states is None:
-            states = {t: m.init() for t, m in per_task.items() if t in labels}
+        missing = [t for t in states if t not in labels]
+        if missing:
+            raise KeyError(f"batch labels missing task(s) {missing}; "
+                           f"label keys: {sorted(labels)}")
         users = jnp.asarray(np.asarray(extras[user_key]))
         states = step(state, batch, dense_inputs, labels, users, states)
-    if states is None:
+        saw_data = True
+    if not saw_data:
         return {}
     return {t: float(per_task[t].compute(s)) for t, s in states.items()}
 

@@ -53,13 +53,18 @@ class StreamingGauc:
 
     num_buckets: int = 4096
     num_bins: int = 256
-    lo: float = 0.0          # prediction range [lo, hi) binned uniformly
+    # predictions are binned uniformly over [lo, hi); values OUTSIDE the
+    # range are clipped into the edge bins (they become ties there, which
+    # silently degrades the metric on a misconfigured range — e.g. pointing
+    # the default [0, 1) at an unbounded head like the staytime EV output).
+    # state["oor"] counts clipped examples so callers can detect this.
+    lo: float = 0.0
     hi: float = 1.0
     hash_ids: bool = True
 
     def init(self):
         z = jnp.zeros((self.num_buckets, self.num_bins), jnp.float32)
-        return {"pos": z, "neg": z}
+        return {"pos": z, "neg": z, "oor": jnp.zeros((), jnp.float32)}
 
     def bucket(self, user_ids: jnp.ndarray) -> jnp.ndarray:
         u = user_ids.reshape(-1)
@@ -79,8 +84,10 @@ class StreamingGauc:
                      0, self.num_bins - 1)
         w = jnp.ones_like(y) if weight is None else \
             jnp.broadcast_to(weight.reshape(-1), y.shape).astype(jnp.float32)
+        oor = jnp.sum(((p < self.lo) | (p >= self.hi)).astype(jnp.float32))
         return {"pos": state["pos"].at[u, b].add(w * y),
-                "neg": state["neg"].at[u, b].add(w * (1.0 - y))}
+                "neg": state["neg"].at[u, b].add(w * (1.0 - y)),
+                "oor": state.get("oor", jnp.zeros((), jnp.float32)) + oor}
 
     def compute(self, state) -> jnp.ndarray:
         """Impression-weighted mean of per-bucket AUCs (single-class buckets
@@ -105,13 +112,15 @@ class StreamingGauc:
 class StreamingSpearmanGauc:
     """Streaming variant of the continuous-label "consistency AUC"
     (``pso/util.py:19-56`` / ``float_label_auc``): per user-bucket, the
-    fraction of pairs that are label-inverted when ordered by prediction
-    descending.  The offline metric's offline-only status was a documented
-    gap; this closes it with a per-bucket 2-D (pred bin × label bin)
-    histogram, from which the strict-inversion pair count is a 2-D prefix
-    sum.  Pairs tied in prediction bin get 0.5 inversion credit (the
-    offline metric resolves them by stable sort order — exact agreement
-    whenever predictions land in distinct bins).
+    fraction of CONCORDANT (pred, label) pairs — higher prediction AND
+    higher label.  (The reference counts these via its merge-sort "inverse
+    pairs" under a prediction-DESCENDING sort, so concordant pairs are what
+    its 'inversions' are; 1.0 = perfect order consistency.)  The offline
+    metric's offline-only status was a documented gap; this closes it with
+    a per-bucket 2-D (pred bin × label bin) histogram, from which the
+    concordant pair count is a 2-D prefix sum.  Pairs tied in prediction
+    bin get 0.5 credit (the offline metric resolves them by stable sort
+    order — exact agreement whenever predictions land in distinct bins).
 
     Matches ``search.gauc.group_auc(..., is_spearman=True)`` weighting:
     per-bucket value × impressions, skipping single-label buckets.
@@ -152,22 +161,22 @@ class StreamingSpearmanGauc:
 
     def compute_parts(self, state):
         h = state["hist"]                              # (U, P, L)
-        # elements strictly below in BOTH pred and label bin: inversion pairs
-        # under pred-descending order are (higher pred, higher label) ×
-        # (lower pred, lower label) — count via exclusive 2-D prefix sums
+        # concordant pairs: one element strictly below in BOTH pred and label
+        # bin (= the reference's merge-sort 'inverse pairs' under its
+        # prediction-descending sort) — count via exclusive 2-D prefix sums
         cp = jnp.cumsum(h, axis=1)                     # inclusive over pred
         cpl = jnp.cumsum(cp, axis=2)                   # inclusive over both
         below_both = cpl - cp - jnp.cumsum(h, axis=2) + h   # exclusive 2-D
-        inversions = jnp.sum(h * below_both, axis=(1, 2))
+        concordant = jnp.sum(h * below_both, axis=(1, 2))
         # pairs tied in pred bin with differing label bins get 0.5 credit:
         # (Σ_p n_p² − Σ_{p,l} h²)/2 counts exactly those pairs
         tied_pred_diff_label = (jnp.sum(jnp.sum(h, axis=2) ** 2, axis=1)
                                 - jnp.sum(h * h, axis=(1, 2))) / 2.0
-        inversions = inversions + 0.5 * tied_pred_diff_label
+        concordant = concordant + 0.5 * tied_pred_diff_label
 
         n = jnp.sum(h, axis=(1, 2))
         total_pairs = n * (n - 1) / 2.0
-        value = inversions / jnp.maximum(total_pairs, 1e-12)
+        value = concordant / jnp.maximum(total_pairs, 1e-12)
         # single-label buckets carry zero weight (group_auc skip rule)
         label_tot = jnp.sum(h, axis=1)                 # (U, L)
         multi_label = jnp.sum((label_tot > 0).astype(jnp.int32), axis=1) > 1

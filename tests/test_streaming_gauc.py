@@ -8,6 +8,7 @@ end through the jitted eval step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from recommendsystem_tpu.models import create_model
 from recommendsystem_tpu.search.gauc import group_auc
@@ -180,3 +181,30 @@ class TestStreamingSpearman:
         summed = jax.tree.map(lambda a, b: a + b, s1, s2)
         np.testing.assert_allclose(float(m.compute(summed)),
                                    float(m.compute(full)), rtol=1e-6)
+
+
+def test_out_of_range_predictions_are_counted():
+    """Out-of-range predictions clip into edge bins (documented) and the
+    state's 'oor' counter exposes the misconfiguration."""
+    import jax.numpy as jnp
+    from recommendsystem_tpu.train.streaming_gauc import StreamingGauc
+
+    g = StreamingGauc(num_buckets=8, num_bins=16)
+    s = g.init()
+    y = jnp.array([1.0, 0.0, 1.0, 0.0])
+    p = jnp.array([0.5, 0.2, 3.7, -1.0])      # two out of [0, 1)
+    u = jnp.array([1, 2, 3, 4])
+    s = g.update(s, y, p, u)
+    assert float(s["oor"]) == 2.0
+    s = g.update(s, y, jnp.array([0.1, 0.2, 0.3, 0.4]), u)
+    assert float(s["oor"]) == 2.0             # in-range adds nothing
+
+
+def test_gauc_dict_missing_task_raises():
+    from recommendsystem_tpu.train.gauc_eval import _per_task
+    from recommendsystem_tpu.train.streaming_gauc import StreamingGauc
+
+    with pytest.raises(KeyError, match="no metric for task"):
+        _per_task({"click": StreamingGauc()}, ("click", "finish"))
+    out = _per_task({"click": StreamingGauc()}, ("click",))
+    assert set(out) == {"click"}
