@@ -15,7 +15,8 @@ from ..models.base import ModelBundle
 from . import metrics as M
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .state import TrainState, create_train_state
-from .step import make_eval_step, make_predict_step, make_train_step
+from .step import (make_eval_step, make_predict_step, make_scan_train_step,
+                   make_train_step)
 
 log = logging.getLogger(__name__)
 
@@ -27,7 +28,7 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
         resume: bool = False, profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 20), history_path: Optional[str] = None,
         nan_guard: str = "warn", callbacks=(),
-        evict_every: int = 0) -> TrainState:
+        evict_every: int = 0, scan_steps: int = 0) -> TrainState:
     """``dataset`` yields (batch, dense_inputs, labels, sample_weight).
 
     ``resume=True`` restores the latest checkpoint under ``checkpoint_dir``
@@ -39,9 +40,16 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
     there rather than every step to avoid a per-step device sync).
     ``evict_every=N`` applies the optimizer's ``feature_drop_show``
     admission/eviction every N steps (fresh-row resurrect semantics).
+    ``scan_steps=K`` batches K dataset items into ONE device dispatch via
+    ``lax.scan`` (the on-device training loop — numerically identical to K
+    single steps; short tails fall back to single steps).  Log/checkpoint/
+    evict cadences then fire at the first step boundary at or after their
+    nominal step.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     train_step = make_train_step(bundle, mesh=mesh, mode=mode)
+    scan_step = (make_scan_train_step(bundle, mesh=mesh, mode=mode)
+                 if scan_steps > 1 else None)
 
     it = iter(dataset)
     first = None
@@ -72,21 +80,46 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
                 item = next(it)
             except StopIteration:
                 break
-        if profile_dir and i == profile_steps[0] and not profiling:
+        if profile_dir and i >= profile_steps[0] and not profiling:
             jax.profiler.start_trace(profile_dir)
             profiling = True
         batch, dense_inputs, labels, weight = item
-        rng, step_rng = jax.random.split(rng)
-        state, info = train_step(state, batch, labels, weight, dense_inputs,
-                                 step_rng)
-        seen += next(iter(jax.tree.leaves(batch))).shape[0]
-        i += 1
+        chunk = [item]
+        if scan_step is not None:
+            while len(chunk) < scan_steps and (steps is None
+                                               or i + len(chunk) < steps):
+                try:
+                    chunk.append(next(it))
+                except StopIteration:
+                    break
+        if len(chunk) > 1:
+            stack = lambda idx: jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[c[idx] for c in chunk])
+            sb, sl = stack(0), stack(2)
+            sw = np.stack([np.asarray(c[3]) for c in chunk])
+            sd = stack(1) if dense_inputs is not None else None
+            rng, step_rng = jax.random.split(rng)
+            state, infos = scan_step(state, sb, sl, sw, sd,
+                                     jax.random.split(step_rng, len(chunk)))
+            info = jax.tree.map(lambda x: x[-1], infos)
+            seen += sum(next(iter(jax.tree.leaves(c[0]))).shape[0]
+                        for c in chunk)
+            i += len(chunk)
+        else:
+            rng, step_rng = jax.random.split(rng)
+            state, info = train_step(state, batch, labels, weight,
+                                     dense_inputs, step_rng)
+            seen += next(iter(jax.tree.leaves(batch))).shape[0]
+            i += 1
         if profiling and i >= profile_steps[1]:
             jax.block_until_ready(info["loss"])
             jax.profiler.stop_trace()
             profiling = False
             log.info("profiler trace written to %s", profile_dir)
-        if log_every and i % log_every == 0:
+        stride = len(chunk)
+        crossed = lambda every: every and (i // every) > ((i - stride) // every)
+        if crossed(log_every):
             info = jax.device_get(info)
             rate = seen / (time.time() - t0)
             log.info("step %d loss=%.5f examples/s=%.1f", i, info["loss"], rate)
@@ -101,7 +134,7 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
                 rec.update({k: float(v) for k, v in info.items()})
                 with open(history_path, "a") as hf:
                     hf.write(json.dumps(rec) + "\n")
-        if evict_every and i % evict_every == 0:
+        if crossed(evict_every):
             # in-training admission/eviction at the optimizer's own
             # feature_drop_show threshold (tn.core.AdaGrad semantics)
             rng, evict_rng = jax.random.split(rng)
@@ -109,7 +142,7 @@ def fit(bundle: ModelBundle, dataset: Iterable, steps: Optional[int] = None,
                                tables=bundle.embedding.maybe_evict(
                                    state.tables, evict_rng),
                                step=state.step)
-        if checkpoint_dir and checkpoint_every and i % checkpoint_every == 0:
+        if checkpoint_dir and crossed(checkpoint_every):
             save_checkpoint(checkpoint_dir, state)
         for cb in callbacks:
             cb(i, state, info)

