@@ -36,23 +36,43 @@ FIELDS = 24
 EMB_DIM = 8
 IDS_PER_FEATURE = 5
 BUCKET = 265000
-STEPS = 50
+STEPS = 64
 WARMUP = 10
+SCAN = 8        # on-device steps per dispatch in the headline scan loop
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def fetch_scalar(info) -> float:
+    """Force completion of dispatched work through a DATA dependency.
+
+    On this experimental axon platform ``jax.block_until_ready`` can return
+    before queued work (or even its async compile) has finished — measured:
+    a 'blocked' scan window read 2 ms while the actual work took 439 s to
+    materialize.  Timing windows must therefore end with a host fetch of a
+    value produced by the last dispatch; a scalar fetch costs ~ms of RPC,
+    negligible against a multi-step window."""
+    import jax
+    return float(jax.tree.leaves(info)[0].ravel()[-1])
+
+
 _WINDOW_RATES: list = []   # filled by bench_jax; reported as min/max spread
 
 
 def bench_jax() -> float:
+    """Headline: autoint train throughput driven by the on-device lax.scan
+    loop (``make_scan_train_step`` — the production driver, one dispatch per
+    SCAN steps).  Per-step dispatch on this tunneled host mostly measures RPC
+    latency (~5x slower for the same program); ``--dispatch`` selects it for
+    comparison."""
     import jax
+    import jax.numpy as jnp
     from recommendsystem_tpu.data import synthetic_batch
     from recommendsystem_tpu.models import create_model
     from recommendsystem_tpu.train import create_train_state
-    from recommendsystem_tpu.train.step import make_train_step
+    from recommendsystem_tpu.train.step import make_scan_train_step, make_train_step
 
     log(f"jax devices: {jax.devices()}")
     bundle = create_model("autoint", bucket_size=BUCKET)
@@ -62,24 +82,47 @@ def bench_jax() -> float:
     labels = jax.device_put(labels)
     weight = jax.device_put(weight)
     state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
-    step = make_train_step(bundle)
     rng = jax.random.PRNGKey(1)
 
-    for _ in range(WARMUP):
-        state, info = step(state, batch, labels, weight, None, rng)
-    jax.block_until_ready(state.params)
-    # median of several timed windows: single-window numbers vary ±25% on
-    # this dispatch path
-    rates = []
-    for w in range(5):
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
+    if "--dispatch" in sys.argv:   # per-step dispatch (RPC-bound here)
+        step = make_train_step(bundle)
+        for _ in range(WARMUP):
             state, info = step(state, batch, labels, weight, None, rng)
-        jax.block_until_ready(state.params)
-        dt = time.perf_counter() - t0
-        rates.append(BATCH * STEPS / dt)
-        log(f"jax window {w}: {STEPS} steps of {BATCH} in {dt:.3f}s "
-            f"-> {rates[-1]:,.0f} examples/s")
+        fetch_scalar(info)
+        rates = []
+        for w in range(5):
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                state, info = step(state, batch, labels, weight, None, rng)
+            loss = fetch_scalar(info)
+            dt = time.perf_counter() - t0
+            rates.append(BATCH * STEPS / dt)
+            log(f"jax window {w}: {STEPS} steps of {BATCH} in {dt:.3f}s "
+                f"-> {rates[-1]:,.0f} examples/s (loss {loss:.4f})")
+    else:
+        K = SCAN
+        tile = lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x)[None],
+                                       (K,) + jnp.asarray(x).shape), t)
+        sb, sl, sw = tile(batch), tile(labels), tile(weight)
+        rngs = jax.random.split(rng, K)
+        scan = make_scan_train_step(bundle)
+        for _ in range(2):
+            state, info = scan(state, sb, sl, sw, None, rngs)
+        fetch_scalar(info)   # waits out the async compile + warmup
+        calls = max(1, STEPS // K)
+        rates = []
+        for w in range(5):
+            t0 = time.perf_counter()
+            for _ in range(calls):
+                state, info = scan(state, sb, sl, sw, None, rngs)
+            loss = fetch_scalar(info)
+            dt = time.perf_counter() - t0
+            rates.append(BATCH * K * calls / dt)
+            log(f"jax window {w}: {calls}x{K} steps of {BATCH} in {dt:.3f}s "
+                f"-> {rates[-1]:,.0f} examples/s "
+                f"({dt / (K * calls) * 1e3:.3f} ms/step, loss {loss:.4f})")
+    # median of several timed windows: single-window numbers vary ±25%
     rate = sorted(rates)[len(rates) // 2]
     _WINDOW_RATES[:] = rates
     log(f"jax median: {rate:,.0f} examples/s")
@@ -196,13 +239,13 @@ def bench_model(name: str, batch: int, steps: int = 20,
         sd = tile(dense) if dense is not None else None
         rngs = jax.random.split(jax.random.PRNGKey(1), K)
         scan = make_scan_train_step(bundle)
-        state, _ = scan(state, sb, sl, sw, sd, rngs)
-        jax.block_until_ready(state.params)
+        state, info = scan(state, sb, sl, sw, sd, rngs)
+        fetch_scalar(info)
         t0 = time.perf_counter()
         calls = max(1, steps // K)
         for _ in range(calls):
-            state, _ = scan(state, sb, sl, sw, sd, rngs)
-        jax.block_until_ready(state.params)
+            state, info = scan(state, sb, sl, sw, sd, rngs)
+        fetch_scalar(info)
         dt = time.perf_counter() - t0
         rate = batch * K * calls / dt
         log(f"{name} scan[{K}]: {calls}x{K} steps of {batch} in {dt:.3f}s -> "
@@ -212,11 +255,11 @@ def bench_model(name: str, batch: int, steps: int = 20,
     rng = jax.random.PRNGKey(1)
     for _ in range(3):
         state, info = step(state, b, labels, weight, dense, rng)
-    jax.block_until_ready(state.params)
+    fetch_scalar(info)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, info = step(state, b, labels, weight, dense, rng)
-    jax.block_until_ready(state.params)
+    fetch_scalar(info)
     dt = time.perf_counter() - t0
     rate = batch * steps / dt
     log(f"{name}: {steps} steps of {batch} in {dt:.3f}s -> {rate:,.0f} examples/s"
@@ -239,11 +282,11 @@ def bench_predict(name: str, batch: int, steps: int = 50, **kwargs) -> float:
     state = create_train_state(bundle, jax.random.PRNGKey(0), b, dense)
     step = make_predict_step(bundle)
     out = step(state, b, dense)
-    jax.block_until_ready(out)
+    fetch_scalar(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = step(state, b, dense)
-    jax.block_until_ready(out)
+    fetch_scalar(out)
     dt = time.perf_counter() - t0
     rate = batch * steps / dt
     log(f"{name} predict: {steps} x {batch} in {dt:.3f}s -> {rate:,.0f} ex/s"
