@@ -75,6 +75,12 @@ def bench_jax() -> float:
     from recommendsystem_tpu.train.step import make_scan_train_step, make_train_step
 
     log(f"jax devices: {jax.devices()}")
+    # 'packed' (default): the lane-packed Pallas fold/unfold path;
+    # '--sparse-update scatter|dense' selects the classic paths for A/B
+    sparse_update = "packed"
+    if "--sparse-update" in sys.argv:
+        sparse_update = sys.argv[sys.argv.index("--sparse-update") + 1]
+    log(f"sparse_update: {sparse_update}")
     bundle = create_model("autoint", bucket_size=BUCKET)
     batch, dense, labels, weight = synthetic_batch(bundle, BATCH, seed=0,
                                                    ids_per_feature=IDS_PER_FEATURE)
@@ -85,7 +91,7 @@ def bench_jax() -> float:
     rng = jax.random.PRNGKey(1)
 
     if "--dispatch" in sys.argv:   # per-step dispatch (RPC-bound here)
-        step = make_train_step(bundle)
+        step = make_train_step(bundle, sparse_update=sparse_update)
         for _ in range(WARMUP):
             state, info = step(state, batch, labels, weight, None, rng)
         fetch_scalar(info)
@@ -106,7 +112,7 @@ def bench_jax() -> float:
                                        (K,) + jnp.asarray(x).shape), t)
         sb, sl, sw = tile(batch), tile(labels), tile(weight)
         rngs = jax.random.split(rng, K)
-        scan = make_scan_train_step(bundle)
+        scan = make_scan_train_step(bundle, sparse_update=sparse_update)
         for _ in range(2):
             state, info = scan(state, sb, sl, sw, None, rngs)
         fetch_scalar(info)   # waits out the async compile + warmup

@@ -19,7 +19,8 @@ replicated tables) uses a plain gather.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple, Union
+import math
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
 from .feature_column import EmbeddingColumn
+from . import packed as packed_mod
 
 
 @jax.tree_util.register_dataclass
@@ -170,11 +172,24 @@ class EmbeddingFeatures:
     def __init__(self, embedding_columns: List[EmbeddingColumn], sparse_opt,
                  name: str = "sparse_emb_input", num_shards: int = 1,
                  group_tables: bool = False, table_dtype=jnp.float32,
-                 a2a_capacity_factor=None):
+                 a2a_capacity_factor=None, packed: bool = True,
+                 max_group_bytes: Optional[int] = 40 << 20):
         self.name = name
         self.sparse_opt = sparse_opt
         self.num_shards = num_shards
         self.group_tables = group_tables
+        # lane-packed fast path (embedding/packed.py): tables reshape to
+        # 128-lane physical rows so gathers/scatters move full HBM
+        # transactions instead of lane-padded narrow rows (16x blowup for
+        # D=8 on TPU).  ``packed=True`` only ALIGNS table offsets (rows pad
+        # to lcm(gather_pack, scatter_pack, num_shards)); whether the packed
+        # kernels actually run is the train step's ``sparse_update`` choice.
+        self.packed = packed
+        # cap on one storage group's byte size: jnp.take from a <~40 MB
+        # target runs ~3.3x faster per id than from a >128 MB one (HBM
+        # locality, measured scripts/probe6.py), so same-shape tables split
+        # into multiple storage groups rather than one huge array.
+        self.max_group_bytes = max_group_bytes
         # bounded all-to-all bucket capacity (see exchange_capacity): None =
         # exact (bit-parity with local mode); ~2.0 = production pods, where
         # hashed-uniform ids make overflow vanishingly rare and per-device
@@ -215,24 +230,45 @@ class EmbeddingFeatures:
         # row_offset, rows).
         self.table_map: Dict[str, Tuple[str, int, int]] = {}
         self.storage: Dict[str, Tuple[int, int]] = {}
+
+        def stride_of(rows: int, dim: int) -> int:
+            """Member stride: rows padded so every member offset is a
+            multiple of both lane packings (and the shard count)."""
+            if not packed or not packed_mod.packable(dim):
+                return rows
+            a = math.lcm(packed_mod.gather_pack(dim),
+                         packed_mod.scatter_pack(dim), max(1, num_shards))
+            return -(-rows // a) * a
+
         if group_tables:
             by_shape: Dict[Tuple[int, int], List[str]] = {}
             for tkey in sorted(self.tables):
                 by_shape.setdefault(self.tables[tkey], []).append(tkey)
             for (rows, dim), members in sorted(by_shape.items()):
-                if len(members) == 1:
-                    tkey = members[0]
-                    self.storage[tkey] = (rows, dim)
-                    self.table_map[tkey] = (tkey, 0, rows)
-                else:
-                    skey = f"group_{rows}x{dim}"
-                    self.storage[skey] = (rows * len(members), dim)
-                    for i, tkey in enumerate(members):
-                        self.table_map[tkey] = (skey, i * rows, rows)
+                stride = stride_of(rows, dim)
+                per_chunk = len(members)
+                if max_group_bytes:
+                    bytes_per = stride * dim * 4
+                    per_chunk = max(1, min(per_chunk,
+                                           max_group_bytes // max(1, bytes_per)))
+                chunks = [members[i:i + per_chunk]
+                          for i in range(0, len(members), per_chunk)]
+                for ci, chunk in enumerate(chunks):
+                    if len(chunk) == 1:
+                        tkey = chunk[0]
+                        self.storage[tkey] = (stride, dim)
+                        self.table_map[tkey] = (tkey, 0, stride)
+                    else:
+                        skey = f"group_{stride}x{dim}" + (
+                            f"_c{ci}" if len(chunks) > 1 else "")
+                        self.storage[skey] = (stride * len(chunk), dim)
+                        for i, tkey in enumerate(chunk):
+                            self.table_map[tkey] = (skey, i * stride, stride)
         else:
-            for tkey, shape in self.tables.items():
-                self.storage[tkey] = shape
-                self.table_map[tkey] = (tkey, 0, shape[0])
+            for tkey, (rows, dim) in self.tables.items():
+                stride = stride_of(rows, dim)
+                self.storage[tkey] = (stride, dim)
+                self.table_map[tkey] = (tkey, 0, stride)
 
     # ---------------- state ----------------
 
@@ -417,7 +453,13 @@ class EmbeddingFeatures:
         """One scatter-add builds the dense [G | count] accumulator of one
         table: grads of padding slots are exactly zero (the combine is
         mask-scaled, so autodiff zeroes them), and the count column carries
-        the mask so 'show'/per-row step counters see only real occurrences."""
+        the mask so 'show'/per-row step counters see only real occurrences.
+
+        (A lane-packed variant — scatter P=128//(D+1) payload rows per
+        128-wide physical row — was measured equal end-to-end: the XLA
+        lane-place materializes (E,128) arrays that cost what the narrower
+        scatter saves.  The fused lane-place lives in the Pallas packed
+        path instead.)"""
         payload = jnp.concatenate(
             [grads.astype(jnp.float32), mask[:, None]], axis=1)
         acc = jnp.zeros((num_rows, payload.shape[1]), jnp.float32)

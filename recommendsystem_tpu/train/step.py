@@ -104,17 +104,29 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     """Returns jitted (state, batch, labels, sample_weight, dense_inputs,
     dropout_rng) -> (state, metrics_dict).
 
-    ``sparse_update``: 'scatter' (the default in BOTH modes) differentiates
-    w.r.t. the gathered embedding activations and applies unique+scatter row
-    updates — O(batch ids) HBM traffic (when sharded, grads are routed to the
-    owning shard over ICI — the PS push); 'dense' differentiates through the
-    gather and updates lazily over whole tables (O(table) HBM traffic —
-    debugging/reference path only).
+    ``sparse_update``:
+      'packed' (local-mode default) — the lane-packed fast path
+      (``embedding/packed.py``): tables reshape to 128-lane physical rows so
+      the gather moves full HBM transactions, Pallas fold/unfold kernels
+      select lanes, and grads flow only to the folded per-column activations
+      (never an E-scale narrow array).  Storages that can't pack (dim > 42,
+      bf16 storage, unaligned offsets) transparently use the classic scatter
+      path within the same step; numerics match 'scatter' (tested).
+      'scatter' (sharded-mode default) — differentiates w.r.t. the gathered
+      (B, L, D) activations and applies scatter row updates: O(batch ids)
+      HBM traffic; when sharded, grads route to the owning shard over ICI
+      (the PS push).
+      'dense' — differentiates through the gather and updates lazily over
+      whole tables (O(table) HBM traffic — debugging/reference path only).
     """
     if sparse_update is None:
-        sparse_update = "scatter"
+        sparse_update = "scatter" if mode == "sharded" else "packed"
+    if sparse_update == "packed" and mode == "sharded":
+        raise NotImplementedError("packed sparse_update is local-mode only; "
+                                  "use 'scatter' (the PS push) when sharded")
 
     import optax
+    from ..embedding import packed as packed_mod
 
     def step_dense(state: TrainState, batch, labels, sample_weight,
                    dense_inputs, rng):
@@ -178,7 +190,57 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                 "regularization": aux["regularization"]}
         return new_state, info
 
-    step = step_scatter if sparse_update == "scatter" else step_dense
+    def step_packed(state: TrainState, batch, labels, sample_weight,
+                    dense_inputs, rng):
+        rngs = {"dropout": rng}
+        eng = bundle.embedding
+        weights = eng.weights(state.tables)
+        pk_storages, _ = packed_mod.storages_packed(eng)
+        plans = packed_mod.plan_segments(eng, batch, storages=set(pk_storages))
+        # stage 1 (not differentiated): packed gather + Pallas lane-fold
+        ctx = packed_mod.gather_fold(eng, weights, batch, plans)
+        acts = {skey: c["acts"] for skey, c in ctx.items()}
+        # columns whose storage can't pack go through the classic fused
+        # gather within the same step
+        classic_batch = {
+            k: v for k, v in batch.items()
+            if k in eng.columns
+            and eng.table_map[eng.columns[k].categorical_column.key][0]
+            not in plans}
+        raw = (eng.gather_raw(weights, classic_batch) if classic_batch else {})
+
+        def lfn(params, acts_, raw_):
+            embs = packed_mod.combine_from_acts(
+                eng, plans, {s: {"acts": a} for s, a in acts_.items()}, batch)
+            if raw_:
+                embs.update(eng.combine_raw(raw_, classic_batch))
+            return _model_outputs_and_loss(bundle, params, embs, labels,
+                                           sample_weight, dense_inputs,
+                                           True, rngs)
+
+        (loss, aux), (gp, g_acts, graw) = jax.value_and_grad(
+            lfn, argnums=(0, 1, 2), has_aux=True)(state.params, acts, raw)
+
+        updates, opt_state = bundle.dense_optimizer.update(gp, state.opt_state,
+                                                           state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # stage 3 (not differentiated): Pallas lane-unfold + per-table
+        # wide scatter + lazy dense optimizer pass
+        tables = packed_mod.apply_gradients_packed(eng, state.tables, g_acts,
+                                                   plans, ctx, batch)
+        if classic_batch:
+            flat = eng.flatten_raw_grads(graw, classic_batch)
+            tables = eng.apply_gradients_scatter(tables, flat)
+
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               tables=tables, step=state.step + 1)
+        info = {"loss": loss, **{f"loss/{t}": v for t, v in aux["task_losses"].items()},
+                "regularization": aux["regularization"]}
+        return new_state, info
+
+    step = {"scatter": step_scatter, "dense": step_dense,
+            "packed": step_packed}[sparse_update]
     if _body_only:
         return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -215,6 +277,9 @@ def make_scan_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
 def _lookup_for_mode(bundle, weights, batch, mode, mesh):
     if mode == "sharded":
         return bundle.embedding.lookup_sharded(weights, batch, mesh)
+    if mode == "local" and getattr(bundle.embedding, "packed", False):
+        from ..embedding import packed as packed_mod
+        return packed_mod.lookup_packed(bundle.embedding, weights, batch)
     return bundle.embedding.lookup(weights, batch, mode=mode)
 
 

@@ -355,9 +355,11 @@ class TestTableGrouping:
         return batch
 
     def test_storage_layout(self):
+        # packed alignment pads each member's stride to lcm(gather_pack=16,
+        # scatter_pack=14) = 112 so lane-group positions stay table-local
         _, grouped = self._engines()
-        assert set(grouped.storage) == {"group_64x8", "d"}
-        assert grouped.storage["group_64x8"] == (64 * 3, 8)
+        assert set(grouped.storage) == {"group_112x8", "d"}
+        assert grouped.storage["group_112x8"] == (112 * 3, 8)
 
     def test_lookup_matches_flat(self):
         flat, grouped = self._engines()

@@ -1,0 +1,254 @@
+"""Lane-packed embedding path (embedding/packed.py): plan/layout unit tests
+and train-step parity vs the classic scatter and dense paths.
+
+On CPU the Pallas kernels fall back to the pure-jnp reference
+implementations (same math, same layouts), so these tests pin the whole
+pipeline shape; the kernels themselves are additionally exercised on real
+TPU by scripts/probe8.py and the TPU-marked test below.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recommendsystem_tpu.data import synthetic_batch
+from recommendsystem_tpu.embedding import packed
+from recommendsystem_tpu.models import create_model
+from recommendsystem_tpu.train import create_train_state
+from recommendsystem_tpu.train.step import make_train_step
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+def test_pack_constants():
+    assert packed.gather_pack(8) == 16
+    assert packed.scatter_pack(8) == 14      # 128 // 9
+    assert packed.packable(8)
+    assert packed.packable(16)
+    assert packed.packable(42)
+    assert not packed.packable(64)           # scatter_pack(64) == 1
+
+
+def test_engine_alignment():
+    bundle = create_model("autoint", bucket_size=200)
+    eng = bundle.embedding
+    pg, ps = packed.gather_pack(8), packed.scatter_pack(8)
+    for skey, (rows, d) in eng.storage.items():
+        assert rows % pg == 0
+        for off, _, rows_t in eng._storage_members(skey):
+            assert off % pg == 0 and off % ps == 0
+    pk, classic = packed.storages_packed(eng)
+    assert pk, "autoint (d=8 fp32) storages must be packable"
+    assert not classic
+
+
+def test_max_group_bytes_splits_groups():
+    bundle = create_model("autoint", bucket_size=100_000)
+    eng = bundle.embedding
+    # 24 tables of 100016x8 fp32 = 3.2 MB each; 40 MB cap -> 12 per group
+    assert len(eng.storage) == 2
+    for skey, (rows, d) in eng.storage.items():
+        assert rows * d * 4 <= eng.max_group_bytes
+
+
+def test_fold_unfold_reference_roundtrip():
+    """fold_mean_ref / unfold_mean_ref against a direct per-id computation."""
+    rng = np.random.default_rng(0)
+    d, l, x = 8, 5, 64
+    pg, dp = packed.gather_pack(d), d + 1
+    e = x * l
+    ids = rng.integers(0, 1000, e).astype(np.int32)
+    mask = (rng.random(e) > 0.3).astype(np.float32)
+    wide = rng.normal(size=(e, 128)).astype(np.float32)
+    ohm = np.asarray(packed.build_ohm(jnp.asarray(ids), jnp.asarray(mask), d))
+
+    out = np.asarray(packed.fold_mean_ref(jnp.asarray(wide), jnp.asarray(ohm),
+                                          l, d))
+    # direct: lane (id % pg)*d + j, masked, summed l-major
+    sel = np.zeros((e, d), np.float32)
+    for j in range(d):
+        sel[:, j] = wide[np.arange(e), (ids % pg) * d + j] * mask
+    np.testing.assert_allclose(out, sel.reshape(l, x, d).sum(0), atol=1e-5)
+
+    gx = rng.normal(size=(x, d)).astype(np.float32)
+    pay = np.asarray(packed.unfold_mean_ref(jnp.asarray(gx), jnp.asarray(ohm),
+                                            l))
+    ps = packed.scatter_pack(d)
+    ref = np.zeros((e, 128), np.float32)
+    xs = np.tile(np.arange(x), l)            # l-major
+    for j in range(d):
+        ref[np.arange(e), (ids % ps) * dp + j] = gx[xs, j] * mask
+    ref[np.arange(e), (ids % ps) * dp + d] += mask
+    np.testing.assert_allclose(pay, ref, atol=1e-5)
+
+
+def test_plan_covers_all_columns():
+    bundle = create_model("staytime")
+    eng = bundle.embedding
+    batch, _, _, _ = synthetic_batch(bundle, 8, seed=0)
+    pk, _ = packed.storages_packed(eng)
+    plans = packed.plan_segments(eng, batch, storages=set(pk))
+    planned = {k for segs in plans.values() for s in segs for k in s.keys}
+    classic = {k for k in batch
+               if eng.table_map[eng.columns[k].categorical_column.key][0]
+               not in plans}
+    assert planned | classic == set(batch.keys())
+    assert not planned & classic
+    # segment sizes tile each storage's stream exactly
+    for skey, segs in plans.items():
+        off = 0
+        for s in segs:
+            assert s.start == off
+            off += s.size
+        ids, mask = packed.storage_stream(eng, skey, segs, batch)
+        assert ids.shape[0] == off == mask.shape[0]
+
+
+def test_table_spans_partition_stream():
+    bundle = create_model("autoint", bucket_size=300)
+    eng = bundle.embedding
+    batch, _, _, _ = synthetic_batch(bundle, 4, seed=0)
+    pk, _ = packed.storages_packed(eng)
+    plans = packed.plan_segments(eng, batch, storages=set(pk))
+    for skey, segs in plans.items():
+        spans = packed.table_spans(eng, segs, batch)
+        total = sum(s.size for s in segs)
+        covered = np.zeros(total, bool)
+        ids, _ = packed.storage_stream(eng, skey, segs, batch)
+        ids = np.asarray(ids)
+        for tkey, sp in spans.items():
+            _, off, rows_t = eng.table_map[tkey]
+            for start, size in sp:
+                assert not covered[start:start + size].any()
+                covered[start:start + size] = True
+                seg_ids = ids[start:start + size]
+                assert (seg_ids >= off).all() and (seg_ids < off + rows_t).all()
+        assert covered.all()
+
+
+# ---------------------------------------------------------------------------
+# train-step parity: packed == scatter == dense
+# ---------------------------------------------------------------------------
+
+def _run(bundle, sparse_update, batch, labels, weight, dense, steps=3):
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch, dense)
+    step = make_train_step(bundle, donate=False, sparse_update=sparse_update)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(steps):
+        state, info = step(state, batch, labels, weight, dense, rng)
+        losses.append(float(info["loss"]))
+    return state, losses
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("autoint", {"bucket_size": 250}),
+    ("staytime", {}),                       # seq columns + AdaGrad + FFM dims
+    ("finish", {"bucket_size": 300}),
+])
+def test_packed_step_matches_scatter(name, kwargs):
+    bundle = create_model(name, **kwargs)
+    batch, dense, labels, weight = synthetic_batch(bundle, 16, seed=0)
+    s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense)
+    s_sc, l_sc = _run(bundle, "scatter", batch, labels, weight, dense)
+    np.testing.assert_allclose(l_pk, l_sc, rtol=1e-5)
+    for skey in s_sc.tables:
+        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
+                                   np.asarray(s_sc.tables[skey]["w"]),
+                                   atol=1e-5, err_msg=skey)
+        np.testing.assert_array_equal(np.asarray(s_pk.tables[skey]["show"]),
+                                      np.asarray(s_sc.tables[skey]["show"]),
+                                      err_msg=skey)
+    for a, b in zip(jax.tree.leaves(s_pk.params), jax.tree.leaves(s_sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_step_matches_dense():
+    bundle = create_model("autoint", bucket_size=250)
+    batch, dense, labels, weight = synthetic_batch(bundle, 16, seed=0)
+    s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense)
+    s_de, l_de = _run(bundle, "dense", batch, labels, weight, dense)
+    np.testing.assert_allclose(l_pk, l_de, rtol=1e-5)
+    for skey in s_de.tables:
+        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
+                                   np.asarray(s_de.tables[skey]["w"]),
+                                   atol=1e-5, err_msg=skey)
+
+
+def test_packed_with_split_groups_matches_scatter():
+    """Parity holds when max_group_bytes splits the shape class into
+    multiple storages (different keys, offsets, gather targets)."""
+    bundle = create_model("autoint", bucket_size=100_000)
+    assert len(bundle.embedding.storage) > 1
+    batch, dense, labels, weight = synthetic_batch(bundle, 16, seed=0)
+    s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
+    s_sc, l_sc = _run(bundle, "scatter", batch, labels, weight, dense, steps=2)
+    np.testing.assert_allclose(l_pk, l_sc, rtol=1e-5)
+    for skey in s_sc.tables:
+        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
+                                   np.asarray(s_sc.tables[skey]["w"]),
+                                   atol=1e-5, err_msg=skey)
+
+
+def test_unpackable_dims_fall_back_to_classic():
+    """A bundle with bf16 table storage packs nothing but still trains
+    through sparse_update='packed' (transparent classic fallback)."""
+    bundle = create_model("autoint", bucket_size=250,
+                          table_dtype=jnp.bfloat16)
+    pk, classic = packed.storages_packed(bundle.embedding)
+    assert not pk and classic
+    batch, dense, labels, weight = synthetic_batch(bundle, 8, seed=0)
+    _, losses = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernels")
+def test_tpu_kernels_match_reference():
+    rng = np.random.default_rng(0)
+    d, l, x = 8, 5, 512
+    e = x * l
+    ids = jnp.asarray(rng.integers(0, 4096, e), jnp.int32)
+    mask = jnp.asarray((rng.random(e) > 0.3), jnp.float32)
+    wide = jnp.asarray(rng.normal(size=(e, 128)), jnp.float32)
+    gx = jnp.asarray(rng.normal(size=(x, d)), jnp.float32)
+    ohm = packed.build_ohm(ids, mask, d)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(packed.fold_mean_tpu,
+                           static_argnums=(2, 3))(wide, ohm, l, d)),
+        np.asarray(packed.fold_mean_ref(wide, ohm, l, d)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(packed.unfold_mean_tpu,
+                           static_argnums=(2,))(gx, ohm, l)),
+        np.asarray(packed.unfold_mean_ref(gx, ohm, l)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(packed.fold_rows_tpu,
+                           static_argnums=(2,))(wide, ohm, d)),
+        np.asarray(packed.fold_rows_ref(wide, ohm, d)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(packed.unfold_rows_tpu)(wide[:, :d], ohm)),
+        np.asarray(packed.unfold_rows_ref(wide[:, :d], ohm)), atol=1e-5)
+
+
+def test_lookup_packed_matches_classic():
+    bundle = create_model("staytime")
+    eng = bundle.embedding
+    batch, _, _, _ = synthetic_batch(bundle, 8, seed=3)
+    state = eng.init(jax.random.PRNGKey(2))
+    w = eng.weights(state)
+    classic = eng.lookup(w, batch, mode="local")
+    pk = packed.lookup_packed(eng, w, batch)
+    assert set(pk) == set(classic)
+    for k in classic:
+        if isinstance(classic[k], tuple):
+            np.testing.assert_allclose(np.asarray(pk[k][0]),
+                                       np.asarray(classic[k][0]), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(pk[k][1]),
+                                          np.asarray(classic[k][1]))
+        else:
+            np.testing.assert_allclose(np.asarray(pk[k]),
+                                       np.asarray(classic[k]), atol=1e-6,
+                                       err_msg=k)
