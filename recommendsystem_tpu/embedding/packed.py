@@ -141,26 +141,34 @@ def pack_table(w: jnp.ndarray) -> jnp.ndarray:
 # reference (pure jnp) fold / unfold — used on CPU and as the test oracle
 # ---------------------------------------------------------------------------
 
+def _dot_hi(a, b):
+    """f32 matmul at HIGHEST precision: the TPU default runs f32 dots in
+    bf16 passes (~1e-2 error), which would break kernel-vs-reference parity
+    (the Pallas kernels always use HIGHEST)."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
 def fold_mean_ref(wide: jnp.ndarray, ohm: jnp.ndarray, l: int, d: int
                   ) -> jnp.ndarray:
     """l-major (X*L, 128) wide rows -> (X, D) masked sums over L."""
     x = wide.shape[0] // l
     m = jnp.where((ohm & 1) != 0, wide, 0.0)
     s = m.reshape(l, x, _LANES).sum(0)
-    return s @ fold_matrix(d)
+    return _dot_hi(s, fold_matrix(d))
 
 
 def fold_rows_ref(wide: jnp.ndarray, ohm: jnp.ndarray, d: int) -> jnp.ndarray:
     """(E, 128) wide rows -> (E, D) masked per-row values."""
     m = jnp.where((ohm & 1) != 0, wide, 0.0)
-    return m @ fold_matrix(d)
+    return _dot_hi(m, fold_matrix(d))
 
 
 def unfold_mean_ref(gx: jnp.ndarray, ohm: jnp.ndarray, l: int) -> jnp.ndarray:
     """(X, D) grads of the sums -> (X*L, 128) scatter payload (l-major),
     grads in bit1 lanes, counts (1.0 per live slot) in bit2 lanes."""
     d = gx.shape[1]
-    gw = gx @ scatter_fold_matrix(d).T               # (X, 128) broadcast lanes
+    gw = _dot_hi(gx, scatter_fold_matrix(d).T)       # (X, 128) broadcast lanes
     gr = jnp.tile(gw, (l, 1))
     return (gr * ((ohm & 2) != 0) + ((ohm & 4) != 0).astype(gw.dtype))
 
@@ -168,7 +176,7 @@ def unfold_mean_ref(gx: jnp.ndarray, ohm: jnp.ndarray, l: int) -> jnp.ndarray:
 def unfold_rows_ref(g: jnp.ndarray, ohm: jnp.ndarray) -> jnp.ndarray:
     """(E, D) per-row grads -> (E, 128) scatter payload."""
     d = g.shape[1]
-    gw = g @ scatter_fold_matrix(d).T
+    gw = _dot_hi(g, scatter_fold_matrix(d).T)
     return (gw * ((ohm & 2) != 0) + ((ohm & 4) != 0).astype(gw.dtype))
 
 
@@ -178,10 +186,12 @@ def unfold_rows_ref(g: jnp.ndarray, ohm: jnp.ndarray) -> jnp.ndarray:
 
 def _chunk(x_rows: int, budget_rows: int = 2048) -> Optional[int]:
     """Largest divisor of x_rows not exceeding the VMEM row budget; None if
-    x_rows has no divisor >= 8 (odd batch shapes fall back to jnp)."""
+    none qualifies (odd batch shapes fall back to jnp).  Mosaic requires a
+    block's sublane dim be a multiple of 8 unless it equals the full array
+    dim, so only 8-multiples (or x_rows itself) qualify."""
     c = min(x_rows, budget_rows)
     while c >= 8:
-        if x_rows % c == 0:
+        if x_rows % c == 0 and (c % 8 == 0 or c == x_rows):
             return c
         c -= 1
     return None
@@ -192,10 +202,40 @@ def fold_mean_tpu(wide, ohm, l: int, d: int):
     from jax.experimental.pallas import tpu as pltpu
 
     x = wide.shape[0] // l
-    cx = _chunk(x)
-    if cx is None or not on_tpu():
+    # 3-D blocks: one grid step folds ALL l slots of a chunk (measured ~20%
+    # faster than revisiting the output block l times with a VMEM scratch
+    # accumulator — scripts/probe10.py).  VMEM budget caps l*cx: the wide
+    # block is l*cx*512 B double-buffered, so l*cx > ~6k overflows the 16MB
+    # scoped limit (l=1, cx=8192 OOM'd by 2.8MB on chip).
+    cx3 = _chunk(x, budget_rows=max(256, 5120 // max(1, l)))
+    if not on_tpu():
         return fold_mean_ref(wide, ohm, l, d)
     fold = fold_matrix(d)
+    if cx3 is not None:
+        nb = x // cx3
+
+        def kernel3(w_ref, o_ref, f_ref, out_ref):
+            m = jnp.where((o_ref[:] & 1) != 0, w_ref[:], 0.0)   # (l, cx, 128)
+            out_ref[:] = jnp.dot(m.sum(axis=0), f_ref[:],
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+        return pl.pallas_call(
+            kernel3, grid=(nb,),
+            in_specs=[pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((_LANES, d), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((cx3, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((x, d), jnp.float32),
+        )(wide.reshape(l, x, _LANES), ohm.reshape(l, x, _LANES), fold)
+
+    cx = _chunk(x)
+    if cx is None:
+        return fold_mean_ref(wide, ohm, l, d)
     nb = x // cx
 
     def kernel(w_ref, o_ref, f_ref, out_ref, acc):
@@ -262,10 +302,41 @@ def unfold_mean_tpu(gx, ohm, l: int):
     from jax.experimental.pallas import tpu as pltpu
 
     x, d = gx.shape
-    cx = _chunk(x)
-    if cx is None or not on_tpu():
+    if not on_tpu():
         return unfold_mean_ref(gx, ohm, l)
     foldt = scatter_fold_matrix(d).T
+    # 3-D blocks: one grid step emits all l payload slots of a chunk from one
+    # lane-broadcast matmul (scripts/probe10.py).  Same l*cx VMEM cap as
+    # fold_mean_tpu (the f32 payload block dominates).
+    cx3 = _chunk(x, budget_rows=max(256, 5120 // max(1, l)))
+    if cx3 is not None:
+        nb = x // cx3
+
+        def kernel3(g_ref, o_ref, f_ref, out_ref):
+            gw = jnp.dot(g_ref[:], f_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)   # (cx, 128)
+            o = o_ref[:].astype(jnp.int32)                       # (l, cx, 128)
+            out_ref[:] = (gw[None] * ((o >> 1) & 1).astype(jnp.float32)
+                          + ((o >> 2) & 1).astype(jnp.float32))
+
+        out = pl.pallas_call(
+            kernel3, grid=(nb,),
+            in_specs=[pl.BlockSpec((cx3, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((d, _LANES), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((l, x, _LANES), jnp.float32),
+        )(gx, ohm.reshape(l, x, _LANES), foldt)
+        return out.reshape(x * l, _LANES)
+
+    cx = _chunk(x)
+    if cx is None:
+        return unfold_mean_ref(gx, ohm, l)
     nb = x // cx
 
     def kernel(g_ref, o_ref, f_ref, out_ref):
@@ -496,20 +567,27 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
                 payloads.append(unfold_mean_tpu(g, o_seg, seg.l))
             else:
                 payloads.append(unfold_rows_tpu(g.reshape(seg.size, d), o_seg))
-        payload = jnp.concatenate(payloads)
+
+        def pay_slice(s, n):
+            """Payload rows [s, s+n) as a view of the owning segment's array
+            (spans never cross segments), avoiding a full-payload concat —
+            a 2x payload round-trip through HBM (scripts/probe9.py)."""
+            for seg, arr in zip(segs, payloads):
+                if seg.start <= s and s + n <= seg.start + seg.size:
+                    return arr[s - seg.start:s - seg.start + n]
+            raise AssertionError((s, n))
+
         spans = table_spans(eng, segs, batch)
         g_parts, c_parts = [], []
         for off, tkey, rows_t in eng._storage_members(skey):
             lanes = ps * (d + 1)
             np_t = -(-rows_t // ps)
             if tkey in spans:
-                t_ids = jnp.concatenate(
-                    [ids[s:s + n] for s, n in spans[tkey]])
-                t_pay = jnp.concatenate(
-                    [payload[s:s + n] for s, n in spans[tkey]])
-                phys = (t_ids - off) // ps       # off % ps == 0 (aligned)
+                # one scatter per contiguous stream span (no concat copies)
                 acc = jnp.zeros((np_t, _LANES), jnp.float32)
-                acc = acc.at[phys].add(t_pay, mode="drop")
+                for s, n in spans[tkey]:
+                    phys = (ids[s:s + n] - off) // ps   # off % ps == 0
+                    acc = acc.at[phys].add(pay_slice(s, n), mode="drop")
                 flat = acc[:, :lanes].reshape(np_t * ps, d + 1)[:rows_t]
                 g_parts.append(flat[:, :d])
                 c_parts.append(flat[:, d:])
