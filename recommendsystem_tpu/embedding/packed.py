@@ -6,27 +6,38 @@ pipeline that never materializes an E-scale array with a narrow trailing dim
 occupies 16x its logical bytes — measured on chip, scripts/probe6.py):
 
   forward   wp    = reshape(w, (rows/Pg, Pg*D)) + lane pad      (pure reshape)
-            wide  = take(wp, ids // Pg)                          (~3.5 ns/id)
-            out   = fold kernel: lane-select by ids % Pg, sum over L (mean
-                    columns, l-major stream) or per-row (sequence columns)
+            out   = fold: take(wp, ids // Pg) lane-selected by ids % Pg and
+                    summed over L (mean columns, b-major stream: each
+                    column's (B, L) ids flatten row-major, so the stream is
+                    pure reshapes — no transposes) or taken per-row
+                    (sequence columns).  Written in plain jnp so XLA fuses
+                    the gather INTO the fold loop — the (E, 128) wide array
+                    never round-trips HBM (scripts/probe11.py: from-ids
+                    fused XLA beat take->Pallas-fold 12.2 vs 14.8 ms at the
+                    headline storage shape, with ~200 lines less machinery;
+                    an earlier materialized variant with a precomputed
+                    (E, 128) lane bitmap paid 1 GB/storage of extra traffic).
   backward  (the model is differentiated w.r.t. the folded activations, which
             are X-scale, so autodiff never sees an E-scale array)
-            pay   = unfold kernel: place d/d(out) into [grad | count] lane
-                    groups of Ps = 128 // (D+1) rows per 128-lane row
+            pay   = unfold: place d/d(out) into [grad | count] lane groups of
+                    Ps = 128 // (D+1) rows per 128-lane row, selected from
+                    ids % Ps (same from-ids fused-XLA shape as the fold)
             G,cnt = one scatter-add per member table into a (rows/Ps, 128)
                     accumulator, unpacked by pure reshapes
             state = lazy dense per-row optimizer pass (HBM-bandwidth bound)
 
 Headline effect (autoint, batch 64k, 24 x 265k x 8 tables, real v5e):
-4142 ms/step (round-2) -> 402 ms (dense-G scatter) -> ~200 ms (this path).
+4142 ms/step (round-2) -> 402 ms (dense-G scatter) -> ~230 ms (Pallas
+fold/unfold) -> this path.
 
 Gather locality: jnp.take from a <~40 MB target runs at 3.5 ns/id but jumps
 to ~11.7 ns/id above ~128 MB (scripts: /tmp/takecurve), so storage grouping
 is capped by ``max_group_bytes`` in the engine.
 
-The Pallas kernels run only on TPU; everywhere else the pure-jnp reference
-implementations below are used (same math, same layouts), so CPU tests
-exercise the identical code path shape.
+Everything here is plain jnp, so CPU tests exercise the identical code path
+that runs on TPU.  Selection matmuls run at HIGHEST precision (the 0/1
+fold matrices make them exact); the TPU default would run f32 dots in bf16
+passes and break parity with the classic paths.
 
 Reference semantics preserved: mean combiner divides by live count
 (``tn.feature_column.embedding_column(combiner='mean')``,
@@ -40,7 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,12 +77,8 @@ def packable(d: int) -> bool:
     return gather_pack(d) >= 2 and scatter_pack(d) >= 2
 
 
-def on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
 # ---------------------------------------------------------------------------
-# lane-map constants and ohm (one-hot-mask) build
+# lane-map constants
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
@@ -95,28 +102,6 @@ def _lane_maps(d: int) -> Tuple[Any, Any, Any, Any, Any]:
     return fold, sfold, g_grp, s_grp, s_sub
 
 
-def build_ohm(ids: jnp.ndarray, mask: jnp.ndarray, d: int) -> jnp.ndarray:
-    """(E,) ids + (E,) mask -> (E, 128) uint8 lane-role bitmap.
-
-    bit0: gather lane of this row's group (lane = (id % Pg)*D + sub), masked
-    bit1: scatter grad lane ((id % Ps)*(D+1) + sub, sub < D), masked
-    bit2: scatter count lane ((id % Ps)*(D+1) + D), masked
-    """
-    _, _, g_grp, s_grp, s_sub = _lane_maps(d)
-    g_grp = jnp.asarray(g_grp, jnp.int32)[None, :]
-    s_grp = jnp.asarray(s_grp, jnp.int32)[None, :]
-    s_sub = jnp.asarray(s_sub, jnp.int32)[None, :]
-    pg, ps = gather_pack(d), scatter_pack(d)
-    lg = (ids % pg).astype(jnp.int32)[:, None]
-    ls = (ids % ps).astype(jnp.int32)[:, None]
-    m = (mask > 0)[:, None]
-    b0 = (g_grp == lg) & m
-    b1 = (s_grp == ls) & (s_sub < d) & m
-    b2 = (s_grp == ls) & (s_sub == d) & m
-    return (jnp.where(b0, 1, 0) + jnp.where(b1, 2, 0)
-            + jnp.where(b2, 4, 0)).astype(jnp.uint8)
-
-
 def fold_matrix(d: int) -> jnp.ndarray:
     return jnp.asarray(_lane_maps(d)[0])
 
@@ -137,258 +122,73 @@ def pack_table(w: jnp.ndarray) -> jnp.ndarray:
     return wp
 
 
-# ---------------------------------------------------------------------------
-# reference (pure jnp) fold / unfold — used on CPU and as the test oracle
-# ---------------------------------------------------------------------------
-
 def _dot_hi(a, b):
     """f32 matmul at HIGHEST precision: the TPU default runs f32 dots in
-    bf16 passes (~1e-2 error), which would break kernel-vs-reference parity
-    (the Pallas kernels always use HIGHEST)."""
+    bf16 passes (~1e-2 error); the 0/1 selection matrices here are exact at
+    HIGHEST, keeping the packed path bit-comparable to the classic paths."""
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)
 
 
-def fold_mean_ref(wide: jnp.ndarray, ohm: jnp.ndarray, l: int, d: int
-                  ) -> jnp.ndarray:
-    """l-major (X*L, 128) wide rows -> (X, D) masked sums over L."""
-    x = wide.shape[0] // l
-    m = jnp.where((ohm & 1) != 0, wide, 0.0)
-    s = m.reshape(l, x, _LANES).sum(0)
+# ---------------------------------------------------------------------------
+# fold / unfold (from-ids, plain jnp — XLA fuses gather + select + reduce)
+# ---------------------------------------------------------------------------
+
+def _gather_select(wp, ids, mask, d):
+    """take(wp, ids // Pg) with only this row's lane group live: (E, 128)
+    inside the fusion, never materialized."""
+    pg = gather_pack(d)
+    g_grp = jnp.asarray(_lane_maps(d)[2], jnp.int32)
+    wide = jnp.take(wp, ids // pg, axis=0)
+    sel = ((g_grp[None, :] == (ids % pg).astype(jnp.int32)[:, None])
+           & (mask > 0)[:, None])
+    return jnp.where(sel, wide, 0.0)
+
+
+def fold_mean(wp, ids, mask, l: int, d: int) -> jnp.ndarray:
+    """b-major (X*L,) id stream (L consecutive ids per logical row) ->
+    (X, D) masked sums over L."""
+    x = ids.shape[0] // l
+    m = _gather_select(wp, ids, mask, d)
+    s = m.reshape(x, l, _LANES).sum(1)
     return _dot_hi(s, fold_matrix(d))
 
 
-def fold_rows_ref(wide: jnp.ndarray, ohm: jnp.ndarray, d: int) -> jnp.ndarray:
-    """(E, 128) wide rows -> (E, D) masked per-row values."""
-    m = jnp.where((ohm & 1) != 0, wide, 0.0)
-    return _dot_hi(m, fold_matrix(d))
+def fold_rows(wp, ids, mask, d: int) -> jnp.ndarray:
+    """(E,) id stream -> (E, D) masked per-row values (sequence columns)."""
+    return _dot_hi(_gather_select(wp, ids, mask, d), fold_matrix(d))
 
 
-def unfold_mean_ref(gx: jnp.ndarray, ohm: jnp.ndarray, l: int) -> jnp.ndarray:
-    """(X, D) grads of the sums -> (X*L, 128) scatter payload (l-major),
-    grads in bit1 lanes, counts (1.0 per live slot) in bit2 lanes."""
-    d = gx.shape[1]
+def _scatter_lane_masks(ids, mask, d):
+    """(E, 128) grad-lane / count-lane selectors from ids % Ps — built inside
+    the unfold fusion, never materialized."""
+    ps = scatter_pack(d)
+    _, _, _, s_grp, s_sub = _lane_maps(d)
+    s_grp = jnp.asarray(s_grp, jnp.int32)[None, :]
+    s_sub = jnp.asarray(s_sub, jnp.int32)[None, :]
+    ls = (ids % ps).astype(jnp.int32)[:, None]
+    m = (mask > 0)[:, None]
+    b1 = (s_grp == ls) & (s_sub < d) & m
+    b2 = (s_grp == ls) & (s_sub == d) & m
+    return b1, b2
+
+
+def unfold_mean(gx, ids, mask, l: int) -> jnp.ndarray:
+    """(X, D) grads of the sums -> (X*L, 128) scatter payload (b-major),
+    grads in this row's [grad] lanes, 1.0 count in its [count] lane."""
+    x, d = gx.shape
+    b1, b2 = _scatter_lane_masks(ids, mask, d)
     gw = _dot_hi(gx, scatter_fold_matrix(d).T)       # (X, 128) broadcast lanes
-    gr = jnp.tile(gw, (l, 1))
-    return (gr * ((ohm & 2) != 0) + ((ohm & 4) != 0).astype(gw.dtype))
+    gr = jnp.broadcast_to(gw[:, None, :], (x, l, _LANES)).reshape(x * l, _LANES)
+    return gr * b1 + b2.astype(gw.dtype)
 
 
-def unfold_rows_ref(g: jnp.ndarray, ohm: jnp.ndarray) -> jnp.ndarray:
+def unfold_rows(g, ids, mask) -> jnp.ndarray:
     """(E, D) per-row grads -> (E, 128) scatter payload."""
     d = g.shape[1]
+    b1, b2 = _scatter_lane_masks(ids, mask, d)
     gw = _dot_hi(g, scatter_fold_matrix(d).T)
-    return (gw * ((ohm & 2) != 0) + ((ohm & 4) != 0).astype(gw.dtype))
-
-
-# ---------------------------------------------------------------------------
-# Pallas kernels (TPU)
-# ---------------------------------------------------------------------------
-
-def _chunk(x_rows: int, budget_rows: int = 2048) -> Optional[int]:
-    """Largest divisor of x_rows not exceeding the VMEM row budget; None if
-    none qualifies (odd batch shapes fall back to jnp).  Mosaic requires a
-    block's sublane dim be a multiple of 8 unless it equals the full array
-    dim, so only 8-multiples (or x_rows itself) qualify."""
-    c = min(x_rows, budget_rows)
-    while c >= 8:
-        if x_rows % c == 0 and (c % 8 == 0 or c == x_rows):
-            return c
-        c -= 1
-    return None
-
-
-def fold_mean_tpu(wide, ohm, l: int, d: int):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    x = wide.shape[0] // l
-    # 3-D blocks: one grid step folds ALL l slots of a chunk (measured ~20%
-    # faster than revisiting the output block l times with a VMEM scratch
-    # accumulator — scripts/probe10.py).  VMEM budget caps l*cx: the wide
-    # block is l*cx*512 B double-buffered, so l*cx > ~6k overflows the 16MB
-    # scoped limit (l=1, cx=8192 OOM'd by 2.8MB on chip).
-    cx3 = _chunk(x, budget_rows=max(256, 5120 // max(1, l)))
-    if not on_tpu():
-        return fold_mean_ref(wide, ohm, l, d)
-    fold = fold_matrix(d)
-    if cx3 is not None:
-        nb = x // cx3
-
-        def kernel3(w_ref, o_ref, f_ref, out_ref):
-            m = jnp.where((o_ref[:] & 1) != 0, w_ref[:], 0.0)   # (l, cx, 128)
-            out_ref[:] = jnp.dot(m.sum(axis=0), f_ref[:],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-
-        return pl.pallas_call(
-            kernel3, grid=(nb,),
-            in_specs=[pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((_LANES, d), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((cx3, d), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((x, d), jnp.float32),
-        )(wide.reshape(l, x, _LANES), ohm.reshape(l, x, _LANES), fold)
-
-    cx = _chunk(x)
-    if cx is None:
-        return fold_mean_ref(wide, ohm, l, d)
-    nb = x // cx
-
-    def kernel(w_ref, o_ref, f_ref, out_ref, acc):
-        li = pl.program_id(1)
-        m = jnp.where((o_ref[:] & 1) != 0, w_ref[:], 0.0)
-        @pl.when(li == 0)
-        def _():
-            acc[:] = m
-        @pl.when(li > 0)
-        def _():
-            acc[:] += m
-        @pl.when(li == l - 1)
-        def _():
-            out_ref[:] = jnp.dot(acc[:], f_ref[:],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-
-    return pl.pallas_call(
-        kernel, grid=(nb, l),
-        in_specs=[pl.BlockSpec((cx, _LANES), lambda i, li: (li * nb + i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cx, _LANES), lambda i, li: (li * nb + i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_LANES, d), lambda i, li: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((cx, d), lambda i, li: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((cx, _LANES), jnp.float32)],
-    )(wide, ohm, fold)
-
-
-def fold_rows_tpu(wide, ohm, d: int):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    e = wide.shape[0]
-    c = _chunk(e)
-    if c is None or not on_tpu():
-        return fold_rows_ref(wide, ohm, d)
-    fold = fold_matrix(d)
-
-    def kernel(w_ref, o_ref, f_ref, out_ref):
-        m = jnp.where((o_ref[:] & 1) != 0, w_ref[:], 0.0)
-        out_ref[:] = jnp.dot(m, f_ref[:], preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-
-    return pl.pallas_call(
-        kernel, grid=(e // c,),
-        in_specs=[pl.BlockSpec((c, _LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((c, _LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_LANES, d), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((c, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((e, d), jnp.float32),
-    )(wide, ohm, fold)
-
-
-def unfold_mean_tpu(gx, ohm, l: int):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    x, d = gx.shape
-    if not on_tpu():
-        return unfold_mean_ref(gx, ohm, l)
-    foldt = scatter_fold_matrix(d).T
-    # 3-D blocks: one grid step emits all l payload slots of a chunk from one
-    # lane-broadcast matmul (scripts/probe10.py).  Same l*cx VMEM cap as
-    # fold_mean_tpu (the f32 payload block dominates).
-    cx3 = _chunk(x, budget_rows=max(256, 5120 // max(1, l)))
-    if cx3 is not None:
-        nb = x // cx3
-
-        def kernel3(g_ref, o_ref, f_ref, out_ref):
-            gw = jnp.dot(g_ref[:], f_ref[:],
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)   # (cx, 128)
-            o = o_ref[:].astype(jnp.int32)                       # (l, cx, 128)
-            out_ref[:] = (gw[None] * ((o >> 1) & 1).astype(jnp.float32)
-                          + ((o >> 2) & 1).astype(jnp.float32))
-
-        out = pl.pallas_call(
-            kernel3, grid=(nb,),
-            in_specs=[pl.BlockSpec((cx3, d), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((d, _LANES), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((l, cx3, _LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((l, x, _LANES), jnp.float32),
-        )(gx, ohm.reshape(l, x, _LANES), foldt)
-        return out.reshape(x * l, _LANES)
-
-    cx = _chunk(x)
-    if cx is None:
-        return unfold_mean_ref(gx, ohm, l)
-    nb = x // cx
-
-    def kernel(g_ref, o_ref, f_ref, out_ref):
-        gw = jnp.dot(g_ref[:], f_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        o = o_ref[:].astype(jnp.int32)
-        out_ref[:] = (gw * ((o >> 1) & 1).astype(jnp.float32)
-                      + ((o >> 2) & 1).astype(jnp.float32))
-
-    return pl.pallas_call(
-        kernel, grid=(nb, l),
-        in_specs=[pl.BlockSpec((cx, d), lambda i, li: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cx, _LANES), lambda i, li: (li * nb + i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((d, _LANES), lambda i, li: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((cx, _LANES), lambda i, li: (li * nb + i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x * l, _LANES), jnp.float32),
-    )(gx, ohm, foldt)
-
-
-def unfold_rows_tpu(g, ohm):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    e, d = g.shape
-    c = _chunk(e)
-    if c is None or not on_tpu():
-        return unfold_rows_ref(g, ohm)
-    foldt = scatter_fold_matrix(d).T
-
-    def kernel(g_ref, o_ref, f_ref, out_ref):
-        gw = jnp.dot(g_ref[:], f_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        o = o_ref[:].astype(jnp.int32)
-        out_ref[:] = (gw * ((o >> 1) & 1).astype(jnp.float32)
-                      + ((o >> 2) & 1).astype(jnp.float32))
-
-    return pl.pallas_call(
-        kernel, grid=(e // c,),
-        in_specs=[pl.BlockSpec((c, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((c, _LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((d, _LANES), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((c, _LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((e, _LANES), jnp.float32),
-    )(g, ohm, foldt)
+    return gw * b1 + b2.astype(gw.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +206,7 @@ class Segment:
 
 
 def plan_segments(eng, batch, storages=None) -> Dict[str, List[Segment]]:
-    """Group each packed storage's present columns into kernel-sized
+    """Group each packed storage's present columns into fold-sized
     segments: mean columns bucketed by L (one fold_mean call per bucket,
     columns ordered table-major so each table's rows form L contiguous
     spans — see ``table_spans``), one seq segment per sequence column.
@@ -441,52 +241,37 @@ def plan_segments(eng, batch, storages=None) -> Dict[str, List[Segment]]:
 
 def table_spans(eng, segs: List[Segment], batch) -> Dict[str, List[Tuple[int, int]]]:
     """Static (start, size) spans of one storage's flat stream per member
-    table.  A mean bucket is l-major over its column-concat axis, so one
-    table's columns occupy L contiguous spans; a seq segment is one span."""
+    table.  Streams are b-major, so each column is one contiguous (B*L)
+    block; adjacent same-table columns merge into one span (one scatter
+    call per table per segment in the common case)."""
     spans: Dict[str, List[Tuple[int, int]]] = {}
     for seg in segs:
-        if seg.kind == "mean":
-            # column-concat axis layout: row = l*XB + (col offset) + b
-            xb = seg.size // seg.l
-            col_off = 0
-            runs: List[Tuple[str, int, int]] = []   # (tkey, off, width)
-            for k in seg.keys:
-                tkey = eng.columns[k].categorical_column.key
-                b = batch[k].rows.shape[0]
-                if runs and runs[-1][0] == tkey and \
-                        runs[-1][1] + runs[-1][2] == col_off:
-                    runs[-1] = (tkey, runs[-1][1], runs[-1][2] + b)
-                else:
-                    runs.append((tkey, col_off, b))
-                col_off += b
-            for tkey, off, width in runs:
-                for l in range(seg.l):
-                    spans.setdefault(tkey, []).append(
-                        (seg.start + l * xb + off, width))
-        else:
-            (k,) = seg.keys
+        off = seg.start
+        runs: List[Tuple[str, int, int]] = []   # (tkey, start, size)
+        for k in seg.keys:
             tkey = eng.columns[k].categorical_column.key
-            spans.setdefault(tkey, []).append((seg.start, seg.size))
+            n = batch[k].rows.size
+            if runs and runs[-1][0] == tkey and \
+                    runs[-1][1] + runs[-1][2] == off:
+                runs[-1] = (tkey, runs[-1][1], runs[-1][2] + n)
+            else:
+                runs.append((tkey, off, n))
+            off += n
+        for tkey, start, size in runs:
+            spans.setdefault(tkey, []).append((start, size))
     return spans
 
 
 def storage_stream(eng, skey: str, segs: List[Segment], batch):
-    """Flat (ids, mask) stream of one storage: mean segments l-major
-    (transpose each column's (B, L) to (L, B) and concatenate columns along
-    B so one kernel call covers the whole bucket), seq segments b-major."""
+    """Flat (ids, mask) stream of one storage, b-major throughout: each
+    column's (B, L) ids flatten row-major (a pure reshape — no transposes)
+    and columns concatenate in segment order."""
     ids_parts, mask_parts = [], []
     for seg in segs:
-        if seg.kind == "mean":
-            ids = jnp.concatenate(
-                [_offset_rows(eng, k, batch).T for k in seg.keys], axis=1)
-            msk = jnp.concatenate(
-                [batch[k].mask.T for k in seg.keys], axis=1)
-        else:
-            (k,) = seg.keys
-            ids = _offset_rows(eng, k, batch)
-            msk = batch[k].mask
-        ids_parts.append(ids.reshape(-1))
-        mask_parts.append(msk.reshape(-1).astype(jnp.float32))
+        for k in seg.keys:
+            ids_parts.append(_offset_rows(eng, k, batch).reshape(-1))
+            mask_parts.append(
+                batch[k].mask.reshape(-1).astype(jnp.float32))
     return jnp.concatenate(ids_parts), jnp.concatenate(mask_parts)
 
 
@@ -499,24 +284,21 @@ def _offset_rows(eng, key: str, batch):
 def gather_fold(eng, weights, batch, plans) -> Dict[str, Any]:
     """Stage 1 (NOT differentiated): packed gather + fold.  Returns, per
     storage, the folded activations {segment start -> array} plus the
-    (ids, ohm) needed by the scatter stage."""
+    (ids, mask) needed by the scatter stage."""
     out = {}
     for skey, segs in plans.items():
         d = eng.storage[skey][1]
-        pg = gather_pack(d)
         ids, mask = storage_stream(eng, skey, segs, batch)
         wp = pack_table(weights[skey].astype(jnp.float32))
-        wide = jnp.take(wp, ids // pg, axis=0)
-        ohm = build_ohm(ids, mask, d)
         acts = []
         for seg in segs:
-            w_seg = wide[seg.start:seg.start + seg.size]
-            o_seg = ohm[seg.start:seg.start + seg.size]
+            i_seg = ids[seg.start:seg.start + seg.size]
+            m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
-                acts.append(fold_mean_tpu(w_seg, o_seg, seg.l, d))
+                acts.append(fold_mean(wp, i_seg, m_seg, seg.l, d))
             else:
-                acts.append(fold_rows_tpu(w_seg, o_seg, d))
-        out[skey] = {"acts": acts, "ids": ids, "ohm": ohm, "mask": mask}
+                acts.append(fold_rows(wp, i_seg, m_seg, d))
+        out[skey] = {"acts": acts, "ids": ids, "mask": mask}
     return out
 
 
@@ -559,14 +341,16 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
     for skey, segs in plans.items():
         d = eng.storage[skey][1]
         ps = scatter_pack(d)
-        ids, ohm = ctx[skey]["ids"], ctx[skey]["ohm"]
+        ids, mask = ctx[skey]["ids"], ctx[skey]["mask"]
         payloads = []
         for seg, g in zip(segs, g_acts[skey]):
-            o_seg = ohm[seg.start:seg.start + seg.size]
+            i_seg = ids[seg.start:seg.start + seg.size]
+            m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
-                payloads.append(unfold_mean_tpu(g, o_seg, seg.l))
+                payloads.append(unfold_mean(g, i_seg, m_seg, seg.l))
             else:
-                payloads.append(unfold_rows_tpu(g.reshape(seg.size, d), o_seg))
+                payloads.append(unfold_rows(g.reshape(seg.size, d),
+                                            i_seg, m_seg))
 
         def pay_slice(s, n):
             """Payload rows [s, s+n) as a view of the owning segment's array

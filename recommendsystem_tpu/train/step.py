@@ -107,8 +107,8 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     ``sparse_update``:
       'packed' (local-mode default) — the lane-packed fast path
       (``embedding/packed.py``): tables reshape to 128-lane physical rows so
-      the gather moves full HBM transactions, Pallas fold/unfold kernels
-      select lanes, and grads flow only to the folded per-column activations
+      the gather moves full HBM transactions, lane fold/unfold fuse into the
+      gather/scatter, and grads flow only to the folded per-column activations
       (never an E-scale narrow array).  Storages that can't pack (dim > 42,
       bf16 storage, unaligned offsets) transparently use the classic scatter
       path within the same step; numerics match 'scatter' (tested).
@@ -197,7 +197,7 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
         weights = eng.weights(state.tables)
         pk_storages, _ = packed_mod.storages_packed(eng)
         plans = packed_mod.plan_segments(eng, batch, storages=set(pk_storages))
-        # stage 1 (not differentiated): packed gather + Pallas lane-fold
+        # stage 1 (not differentiated): packed gather + lane-fold
         ctx = packed_mod.gather_fold(eng, weights, batch, plans)
         acts = {skey: c["acts"] for skey, c in ctx.items()}
         # columns whose storage can't pack go through the classic fused
@@ -225,8 +225,8 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                                                            state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # stage 3 (not differentiated): Pallas lane-unfold + per-table
-        # wide scatter + lazy dense optimizer pass
+        # stage 3 (not differentiated): lane-unfold + per-table wide
+        # scatter + lazy dense optimizer pass
         tables = packed_mod.apply_gradients_packed(eng, state.tables, g_acts,
                                                    plans, ctx, batch)
         if classic_batch:

@@ -1,6 +1,6 @@
 """Phase-level timing of the PACKED headline step (autoint, batch 64k) on
-the real chip: isolates stream build, ohm build, wide gather, fold kernel,
-dense fwd+bwd, unfold kernel, payload scatter-add, lazy optimizer pass, and
+the real chip: isolates stream build, wide gather, fused gather+fold,
+dense fwd+bwd, unfold, payload scatter-add, lazy optimizer pass, and
 the full step.  Every window ends with a host scalar fetch (block_until_ready
 can return early on this platform — CLAUDE.md)."""
 import os, sys, time
@@ -70,19 +70,7 @@ def main():
         return tot
     timeit("storage_stream (ids/mask concat)", f_stream, batch)
 
-    # 2. + ohm build
-    @jax.jit
-    def f_ohm(b):
-        tot = jnp.float32(0)
-        for skey, segs in plans.items():
-            d = eng.storage[skey][1]
-            ids, mask = pk.storage_stream(eng, skey, segs, b)
-            ohm = pk.build_ohm(ids, mask, d)
-            tot += ohm[-1, -1].astype(jnp.float32)
-        return tot
-    timeit("stream + build_ohm (E,128)u8", f_ohm, batch)
-
-    # 3. + packed wide gather
+    # 2. + packed wide gather
     @jax.jit
     def f_take(w, b):
         tot = jnp.float32(0)
@@ -96,7 +84,7 @@ def main():
         return tot
     timeit("stream + pack + wide take (E,128)", f_take, weights, batch)
 
-    # 4. full gather_fold (stream+ohm+take+fold kernels)
+    # 3. full gather_fold (stream + fused take/select/fold)
     @jax.jit
     def f_fold(w, b):
         ctx = pk.gather_fold(eng, w, b, plans)
@@ -132,22 +120,23 @@ def main():
     g_acts = f_gacts(state.params, acts)
     jax.block_until_ready(jax.tree.leaves(g_acts))
 
-    # 6. unfold kernels only
+    # 6. unfold only
     @jax.jit
     def f_unfold(g_acts_, ctx_):
         tot = jnp.float32(0)
         for skey, segs in plans.items():
-            ohm = ctx_[skey]["ohm"]
+            ids_, mask_ = ctx_[skey]["ids"], ctx_[skey]["mask"]
             for seg, g in zip(segs, g_acts_[skey]):
-                o_seg = ohm[seg.start:seg.start + seg.size]
+                i_seg = ids_[seg.start:seg.start + seg.size]
+                m_seg = mask_[seg.start:seg.start + seg.size]
                 d = g.shape[-1]
                 if seg.kind == "mean":
-                    p = pk.unfold_mean_tpu(g, o_seg, seg.l)
+                    p = pk.unfold_mean(g, i_seg, m_seg, seg.l)
                 else:
-                    p = pk.unfold_rows_tpu(g.reshape(seg.size, d), o_seg)
+                    p = pk.unfold_rows(g.reshape(seg.size, d), i_seg, m_seg)
                 tot += p[-1, -1]
         return tot
-    timeit("unfold kernels only", f_unfold, g_acts, ctx)
+    timeit("unfold only", f_unfold, g_acts, ctx)
 
     # 7. full update (unfold + per-table scatter + dense opt pass)
     @jax.jit

@@ -1,10 +1,9 @@
 """Lane-packed embedding path (embedding/packed.py): plan/layout unit tests
 and train-step parity vs the classic scatter and dense paths.
 
-On CPU the Pallas kernels fall back to the pure-jnp reference
-implementations (same math, same layouts), so these tests pin the whole
-pipeline shape; the kernels themselves are additionally exercised on real
-TPU by scripts/probe8.py and the TPU-marked test below.
+The packed path is plain jnp (XLA fuses the gather into the lane fold — see
+the module docstring), so CPU tests exercise the identical code path that
+runs on TPU.
 """
 
 import numpy as np
@@ -55,34 +54,46 @@ def test_max_group_bytes_splits_groups():
 
 
 def test_fold_unfold_reference_roundtrip():
-    """fold_mean_ref / unfold_mean_ref against a direct per-id computation."""
+    """fold_mean / unfold_mean against a direct per-id computation."""
     rng = np.random.default_rng(0)
     d, l, x = 8, 5, 64
     pg, dp = packed.gather_pack(d), d + 1
     e = x * l
-    ids = rng.integers(0, 1000, e).astype(np.int32)
+    rows = 1008                              # multiple of pg and ps
+    ids = rng.integers(0, rows, e).astype(np.int32)
     mask = (rng.random(e) > 0.3).astype(np.float32)
-    wide = rng.normal(size=(e, 128)).astype(np.float32)
-    ohm = np.asarray(packed.build_ohm(jnp.asarray(ids), jnp.asarray(mask), d))
+    w = rng.normal(size=(rows, d)).astype(np.float32)
+    wp = packed.pack_table(jnp.asarray(w))
 
-    out = np.asarray(packed.fold_mean_ref(jnp.asarray(wide), jnp.asarray(ohm),
-                                          l, d))
-    # direct: lane (id % pg)*d + j, masked, summed l-major
-    sel = np.zeros((e, d), np.float32)
-    for j in range(d):
-        sel[:, j] = wide[np.arange(e), (ids % pg) * d + j] * mask
-    np.testing.assert_allclose(out, sel.reshape(l, x, d).sum(0), atol=1e-5)
+    out = np.asarray(packed.fold_mean(wp, jnp.asarray(ids), jnp.asarray(mask),
+                                      l, d))
+    # direct: table row id, masked, summed over each row's L consecutive ids
+    sel = w[ids] * mask[:, None]
+    np.testing.assert_allclose(out, sel.reshape(x, l, d).sum(1), atol=1e-5)
+
+    seq = np.asarray(packed.fold_rows(wp, jnp.asarray(ids), jnp.asarray(mask),
+                                      d))
+    np.testing.assert_allclose(seq, sel, atol=1e-5)
 
     gx = rng.normal(size=(x, d)).astype(np.float32)
-    pay = np.asarray(packed.unfold_mean_ref(jnp.asarray(gx), jnp.asarray(ohm),
-                                            l))
+    pay = np.asarray(packed.unfold_mean(jnp.asarray(gx), jnp.asarray(ids),
+                                        jnp.asarray(mask), l))
     ps = packed.scatter_pack(d)
     ref = np.zeros((e, 128), np.float32)
-    xs = np.tile(np.arange(x), l)            # l-major
+    xs = np.repeat(np.arange(x), l)          # b-major
     for j in range(d):
         ref[np.arange(e), (ids % ps) * dp + j] = gx[xs, j] * mask
     ref[np.arange(e), (ids % ps) * dp + d] += mask
     np.testing.assert_allclose(pay, ref, atol=1e-5)
+
+    gr = rng.normal(size=(e, d)).astype(np.float32)
+    pay_r = np.asarray(packed.unfold_rows(jnp.asarray(gr), jnp.asarray(ids),
+                                          jnp.asarray(mask)))
+    ref_r = np.zeros((e, 128), np.float32)
+    for j in range(d):
+        ref_r[np.arange(e), (ids % ps) * dp + j] = gr[:, j] * mask
+    ref_r[np.arange(e), (ids % ps) * dp + d] += mask
+    np.testing.assert_allclose(pay_r, ref_r, atol=1e-5)
 
 
 def test_plan_covers_all_columns():
@@ -203,34 +214,6 @@ def test_unpackable_dims_fall_back_to_classic():
     batch, dense, labels, weight = synthetic_batch(bundle, 8, seed=0)
     _, losses = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
     assert np.isfinite(losses).all()
-
-
-@pytest.mark.skipif(jax.default_backend() != "tpu",
-                    reason="Pallas TPU kernels")
-def test_tpu_kernels_match_reference():
-    rng = np.random.default_rng(0)
-    d, l, x = 8, 5, 512
-    e = x * l
-    ids = jnp.asarray(rng.integers(0, 4096, e), jnp.int32)
-    mask = jnp.asarray((rng.random(e) > 0.3), jnp.float32)
-    wide = jnp.asarray(rng.normal(size=(e, 128)), jnp.float32)
-    gx = jnp.asarray(rng.normal(size=(x, d)), jnp.float32)
-    ohm = packed.build_ohm(ids, mask, d)
-    np.testing.assert_allclose(
-        np.asarray(jax.jit(packed.fold_mean_tpu,
-                           static_argnums=(2, 3))(wide, ohm, l, d)),
-        np.asarray(packed.fold_mean_ref(wide, ohm, l, d)), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(jax.jit(packed.unfold_mean_tpu,
-                           static_argnums=(2,))(gx, ohm, l)),
-        np.asarray(packed.unfold_mean_ref(gx, ohm, l)), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(jax.jit(packed.fold_rows_tpu,
-                           static_argnums=(2,))(wide, ohm, d)),
-        np.asarray(packed.fold_rows_ref(wide, ohm, d)), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(jax.jit(packed.unfold_rows_tpu)(wide[:, :d], ohm)),
-        np.asarray(packed.unfold_rows_ref(wide[:, :d], ohm)), atol=1e-5)
 
 
 def test_lookup_packed_matches_classic():
