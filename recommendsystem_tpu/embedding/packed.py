@@ -6,22 +6,23 @@ pipeline that never materializes an E-scale array with a narrow trailing dim
 occupies 16x its logical bytes — measured on chip, scripts/probe6.py):
 
   forward   wp    = reshape(w, (rows/Pg, Pg*D)) + lane pad      (pure reshape)
-            out   = fold: take(wp, ids // Pg) lane-selected by ids % Pg and
-                    summed over L (mean columns, b-major stream: each
-                    column's (B, L) ids flatten row-major, so the stream is
-                    pure reshapes — no transposes) or taken per-row
-                    (sequence columns).  Written in plain jnp so XLA fuses
-                    the gather INTO the fold loop — the (E, 128) wide array
-                    never round-trips HBM (scripts/probe11.py: from-ids
-                    fused XLA beat take->Pallas-fold 12.2 vs 14.8 ms at the
-                    headline storage shape, with ~200 lines less machinery;
-                    an earlier materialized variant with a precomputed
-                    (E, 128) lane bitmap paid 1 GB/storage of extra traffic).
+            wide  = take(wp, ids // Pg)                          (~3.5 ns/id)
+            out   = fold kernel: lane-select by ids % Pg (computed in-kernel
+                    from the raw id stream — no precomputed lane bitmap),
+                    summed over L (mean columns) or per-row (sequence
+                    columns).  Streams are b-major: each column's (B, L) ids
+                    flatten row-major, so stream build is pure reshapes.
+                    Measured per storage on chip (op-level trace +
+                    same-process phase A/B): Pallas fold 1.3 ms vs 6.7 ms
+                    for the best fused-XLA fold — XLA materializes the
+                    select/reduce intermediates; an earlier variant with a
+                    precomputed (E, 128) lane bitmap additionally paid
+                    1 GB/storage of bitmap traffic.
   backward  (the model is differentiated w.r.t. the folded activations, which
             are X-scale, so autodiff never sees an E-scale array)
-            pay   = unfold: place d/d(out) into [grad | count] lane groups of
-                    Ps = 128 // (D+1) rows per 128-lane row, selected from
-                    ids % Ps (same from-ids fused-XLA shape as the fold)
+            pay   = unfold kernel: place d/d(out) into [grad | count] lane
+                    groups of Ps = 128 // (D+1) rows per 128-lane row,
+                    lane positions computed in-kernel from ids % Ps
             G,cnt = one scatter-add per member table into a (rows/Ps, 128)
                     accumulator, unpacked by pure reshapes
             state = lazy dense per-row optimizer pass (HBM-bandwidth bound)
@@ -34,10 +35,12 @@ Gather locality: jnp.take from a <~40 MB target runs at 3.5 ns/id but jumps
 to ~11.7 ns/id above ~128 MB (scripts: /tmp/takecurve), so storage grouping
 is capped by ``max_group_bytes`` in the engine.
 
-Everything here is plain jnp, so CPU tests exercise the identical code path
-that runs on TPU.  Selection matmuls run at HIGHEST precision (the 0/1
-fold matrices make them exact); the TPU default would run f32 dots in bf16
-passes and break parity with the classic paths.
+The Pallas kernels run only on TPU; everywhere else the pure-jnp reference
+implementations below are used (same math, same layouts), so CPU tests pin
+the pipeline shape and ``scripts/onchip_packed_parity.py`` checks
+kernel-vs-reference on the real chip.  Selection matmuls run at HIGHEST
+precision (the 0/1 fold matrices make them exact); the TPU default would
+run f32 dots in bf16 passes and break parity with the classic paths.
 
 Reference semantics preserved: mean combiner divides by live count
 (``tn.feature_column.embedding_column(combiner='mean')``,
@@ -131,37 +134,38 @@ def _dot_hi(a, b):
 
 
 # ---------------------------------------------------------------------------
-# fold / unfold (from-ids, plain jnp — XLA fuses gather + select + reduce)
+# fold / unfold — pure-jnp reference (CPU + test oracle)
 # ---------------------------------------------------------------------------
 
-def _gather_select(wp, ids, mask, d):
-    """take(wp, ids // Pg) with only this row's lane group live: (E, 128)
-    inside the fusion, never materialized."""
-    pg = gather_pack(d)
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _select(wide, ids, mask, d):
+    """wide with only each row's gather lane group live: (E, 128)."""
     g_grp = jnp.asarray(_lane_maps(d)[2], jnp.int32)
-    wide = jnp.take(wp, ids // pg, axis=0)
+    pg = gather_pack(d)
     sel = ((g_grp[None, :] == (ids % pg).astype(jnp.int32)[:, None])
            & (mask > 0)[:, None])
     return jnp.where(sel, wide, 0.0)
 
 
-def fold_mean(wp, ids, mask, l: int, d: int) -> jnp.ndarray:
-    """b-major (X*L,) id stream (L consecutive ids per logical row) ->
+def fold_mean_ref(wide, ids, mask, l: int, d: int) -> jnp.ndarray:
+    """b-major (X*L, 128) wide rows (L consecutive rows per logical row) ->
     (X, D) masked sums over L."""
     x = ids.shape[0] // l
-    m = _gather_select(wp, ids, mask, d)
+    m = _select(wide, ids, mask, d)
     s = m.reshape(x, l, _LANES).sum(1)
     return _dot_hi(s, fold_matrix(d))
 
 
-def fold_rows(wp, ids, mask, d: int) -> jnp.ndarray:
-    """(E,) id stream -> (E, D) masked per-row values (sequence columns)."""
-    return _dot_hi(_gather_select(wp, ids, mask, d), fold_matrix(d))
+def fold_rows_ref(wide, ids, mask, d: int) -> jnp.ndarray:
+    """(E, 128) wide rows -> (E, D) masked per-row values (seq columns)."""
+    return _dot_hi(_select(wide, ids, mask, d), fold_matrix(d))
 
 
 def _scatter_lane_masks(ids, mask, d):
-    """(E, 128) grad-lane / count-lane selectors from ids % Ps — built inside
-    the unfold fusion, never materialized."""
+    """(E, 128) grad-lane / count-lane selectors from ids % Ps."""
     ps = scatter_pack(d)
     _, _, _, s_grp, s_sub = _lane_maps(d)
     s_grp = jnp.asarray(s_grp, jnp.int32)[None, :]
@@ -173,7 +177,7 @@ def _scatter_lane_masks(ids, mask, d):
     return b1, b2
 
 
-def unfold_mean(gx, ids, mask, l: int) -> jnp.ndarray:
+def unfold_mean_ref(gx, ids, mask, l: int) -> jnp.ndarray:
     """(X, D) grads of the sums -> (X*L, 128) scatter payload (b-major),
     grads in this row's [grad] lanes, 1.0 count in its [count] lane."""
     x, d = gx.shape
@@ -183,12 +187,214 @@ def unfold_mean(gx, ids, mask, l: int) -> jnp.ndarray:
     return gr * b1 + b2.astype(gw.dtype)
 
 
-def unfold_rows(g, ids, mask) -> jnp.ndarray:
+def unfold_rows_ref(g, ids, mask) -> jnp.ndarray:
     """(E, D) per-row grads -> (E, 128) scatter payload."""
     d = g.shape[1]
     b1, b2 = _scatter_lane_masks(ids, mask, d)
     gw = _dot_hi(g, scatter_fold_matrix(d).T)
     return gw * b1 + b2.astype(gw.dtype)
+
+
+# ---------------------------------------------------------------------------
+# fold / unfold — Pallas TPU kernels (lane select/reduce stays in VMEM; the
+# best fused-XLA formulation materializes the select/reduce intermediates
+# and costs ~5x more per storage — same-process phase A/B on chip)
+# ---------------------------------------------------------------------------
+
+def _chunk(x_rows: int, budget_rows: int = 2048):
+    """Largest divisor of x_rows not exceeding the VMEM row budget; None if
+    none qualifies (odd batch shapes fall back to jnp).  Mosaic requires a
+    block's sublane dim be a multiple of 8 unless it equals the full array
+    dim, so only 8-multiples (or x_rows itself) qualify."""
+    c = min(x_rows, budget_rows)
+    while c >= 8:
+        if x_rows % c == 0 and (c % 8 == 0 or c == x_rows):
+            return c
+        c -= 1
+    return None
+
+
+def _lane_consts(d: int):
+    """(1, 128) int32 lane->group / lane->sub maps for both packings."""
+    _, _, g_grp, s_grp, s_sub = _lane_maps(d)
+    return (jnp.asarray(g_grp, jnp.int32)[None, :],
+            jnp.asarray(s_grp, jnp.int32)[None, :],
+            jnp.asarray(s_sub, jnp.int32)[None, :])
+
+
+def fold_mean(wide, ids, mask, l: int, d: int) -> jnp.ndarray:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if l == 1:
+        # single-id mean columns (the realistic VarLen common case) are
+        # per-row folds; the 2-D kernel avoids (x, 1) lane-padded blocks
+        return fold_rows(wide, ids, mask, d)
+    x = ids.shape[0] // l
+    # one grid step folds ALL l slots of a chunk of logical rows; the wide
+    # block is l*cx*512 B double-buffered, so l*cx caps at ~5k rows within
+    # the 16 MB VMEM scoped limit (measured, scripts/probe10.py)
+    cx = _chunk(x, budget_rows=max(8, 5120 // max(1, l)))
+    if not on_tpu() or cx is None:
+        return fold_mean_ref(wide, ids, mask, l, d)
+    g_grp, _, _ = _lane_consts(d)
+    pg = gather_pack(d)
+
+    def kernel(w_ref, i_ref, m_ref, g_ref, f_ref, out_ref):
+        # reshape/broadcast only 32-bit tensors (Mosaic can't insert or
+        # broadcast a minor dim on i1 vectors); the {0,1} mask multiplies
+        lg = jax.lax.rem(i_ref[:], jnp.int32(pg))[:, :, None]   # (cx, l, 1)
+        m = (jnp.where(g_ref[:][None, :, :] == lg, w_ref[:], 0.0)
+             * m_ref[:][:, :, None])                            # (cx, l, 128)
+        out_ref[:] = jnp.dot(m.sum(axis=1), f_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    return pl.pallas_call(
+        kernel, grid=(x // cx,),
+        in_specs=[pl.BlockSpec((cx, l, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((_LANES, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((cx, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x, d), jnp.float32),
+    )(wide.reshape(x, l, _LANES), ids.reshape(x, l).astype(jnp.int32),
+      mask.reshape(x, l), g_grp, fold_matrix(d))
+
+
+def fold_rows(wide, ids, mask, d: int) -> jnp.ndarray:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e = ids.shape[0]
+    c = _chunk(e)
+    if not on_tpu() or c is None:
+        return fold_rows_ref(wide, ids, mask, d)
+    g_grp, _, _ = _lane_consts(d)
+    pg = gather_pack(d)
+
+    def kernel(w_ref, i_ref, m_ref, g_ref, f_ref, out_ref):
+        lg = jax.lax.rem(i_ref[:], jnp.int32(pg))            # (c, 1)
+        m = jnp.where(g_ref[:] == lg, w_ref[:], 0.0) * m_ref[:]  # (c, 128)
+        out_ref[:] = jnp.dot(m, f_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    return pl.pallas_call(
+        kernel, grid=(e // c,),
+        in_specs=[pl.BlockSpec((c, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((c, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((c, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((_LANES, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, d), jnp.float32),
+    )(wide, ids[:, None].astype(jnp.int32), mask[:, None], g_grp,
+      fold_matrix(d))
+
+
+def unfold_mean(gx, ids, mask, l: int) -> jnp.ndarray:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if l == 1:
+        return unfold_rows(gx, ids, mask)
+    x, d = gx.shape
+    # tighter budget than the fold: the out block is the payload itself and
+    # the surrounding step's scoped-vmem stack left <16 MB headroom (a
+    # 5120-row budget overflowed by 0.5 MB inside the full jitted step)
+    cx = _chunk(x, budget_rows=max(8, 3072 // max(1, l)))
+    if not on_tpu() or cx is None:
+        return unfold_mean_ref(gx, ids, mask, l)
+    _, s_grp, s_sub = _lane_consts(d)
+    ps = scatter_pack(d)
+
+    def kernel(g_ref, i_ref, m_ref, sg_ref, ss_ref, f_ref, out_ref):
+        gw = jnp.dot(g_ref[:], f_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # (cx, 128)
+        ls = jax.lax.rem(i_ref[:], jnp.int32(ps))[:, :, None]  # (cx, l, 1)
+        hit = (jnp.where(sg_ref[:][None, :, :] == ls, 1.0, 0.0)
+               * m_ref[:][:, :, None])                        # (cx, l, 128)
+        is_g = jnp.where(ss_ref[:][None, :, :] < d, 1.0, 0.0)
+        is_c = jnp.where(ss_ref[:][None, :, :] == d, 1.0, 0.0)
+        out_ref[:] = hit * (gw[:, None, :] * is_g + is_c)
+
+    out = pl.pallas_call(
+        kernel, grid=(x // cx,),
+        in_specs=[pl.BlockSpec((cx, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((cx, l, _LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x, l, _LANES), jnp.float32),
+    )(gx, ids.reshape(x, l).astype(jnp.int32), mask.reshape(x, l),
+      s_grp, s_sub, scatter_fold_matrix(d).T)
+    return out.reshape(x * l, _LANES)
+
+
+def unfold_rows(g, ids, mask) -> jnp.ndarray:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e, d = g.shape
+    c = _chunk(e)
+    if not on_tpu() or c is None:
+        return unfold_rows_ref(g, ids, mask)
+    _, s_grp, s_sub = _lane_consts(d)
+    ps = scatter_pack(d)
+
+    def kernel(g_ref, i_ref, m_ref, sg_ref, ss_ref, f_ref, out_ref):
+        gw = jnp.dot(g_ref[:], f_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # (c, 128)
+        ls = jax.lax.rem(i_ref[:], jnp.int32(ps))             # (c, 1)
+        hit = jnp.where(sg_ref[:] == ls, 1.0, 0.0) * m_ref[:]  # (c, 128)
+        is_g = jnp.where(ss_ref[:] < d, 1.0, 0.0)
+        is_c = jnp.where(ss_ref[:] == d, 1.0, 0.0)
+        out_ref[:] = hit * (gw * is_g + is_c)
+
+    return pl.pallas_call(
+        kernel, grid=(e // c,),
+        in_specs=[pl.BlockSpec((c, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((c, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((c, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, _LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, _LANES), jnp.float32),
+    )(g, ids[:, None].astype(jnp.int32), mask[:, None], s_grp, s_sub,
+      scatter_fold_matrix(d).T)
 
 
 # ---------------------------------------------------------------------------
@@ -288,16 +494,19 @@ def gather_fold(eng, weights, batch, plans) -> Dict[str, Any]:
     out = {}
     for skey, segs in plans.items():
         d = eng.storage[skey][1]
+        pg = gather_pack(d)
         ids, mask = storage_stream(eng, skey, segs, batch)
         wp = pack_table(weights[skey].astype(jnp.float32))
+        wide = jnp.take(wp, ids // pg, axis=0)
         acts = []
         for seg in segs:
+            w_seg = wide[seg.start:seg.start + seg.size]
             i_seg = ids[seg.start:seg.start + seg.size]
             m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
-                acts.append(fold_mean(wp, i_seg, m_seg, seg.l, d))
+                acts.append(fold_mean(w_seg, i_seg, m_seg, seg.l, d))
             else:
-                acts.append(fold_rows(wp, i_seg, m_seg, d))
+                acts.append(fold_rows(w_seg, i_seg, m_seg, d))
         out[skey] = {"acts": acts, "ids": ids, "mask": mask}
     return out
 

@@ -1,5 +1,5 @@
-"""On-chip parity: packed fold/unfold Pallas kernels (incl. the 3-D block
-variants) vs the jnp reference, across the (L, D) shapes the zoo uses."""
+"""On-chip parity: packed fold/unfold Pallas kernels (from-ids, b-major)
+vs the jnp reference, across the (L, D) shapes the zoo uses."""
 import os, sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -18,25 +18,26 @@ assert pk.on_tpu(), "must run on the TPU chip"
 rng = np.random.default_rng(0)
 worst = 0.0
 for (l, d, x) in [(5, 8, 4096), (5, 8, 65536), (1, 8, 8192), (3, 16, 6144),
-                  (5, 48, 2048), (2, 32, 10000), (7, 8, 4999)]:
+                  (5, 48, 2048), (2, 32, 10000), (7, 8, 4999), (93, 8, 1024)]:
     e = x * l
-    ids = rng.integers(0, 1 << 20, size=e).astype(np.int64)
-    mask = (rng.random(e) > 0.3).astype(np.float32)
-    ohm = jax.jit(lambda i, m: pk.build_ohm(i, m, d))(
-        jnp.asarray(ids), jnp.asarray(mask))
+    ids = jnp.asarray(rng.integers(0, 1 << 20, size=e).astype(np.int32))
+    mask = jnp.asarray((rng.random(e) > 0.3).astype(np.float32))
     wide = jnp.asarray(rng.standard_normal((e, 128)), jnp.float32)
     gx = jnp.asarray(rng.standard_normal((x, d)), jnp.float32)
     g_rows = jnp.asarray(rng.standard_normal((e, d)), jnp.float32)
 
     pairs = [
-        ("fold_mean", jax.jit(lambda w, o: pk.fold_mean_tpu(w, o, l, d)),
-         jax.jit(lambda w, o: pk.fold_mean_ref(w, o, l, d)), (wide, ohm)),
-        ("unfold_mean", jax.jit(lambda g, o: pk.unfold_mean_tpu(g, o, l)),
-         jax.jit(lambda g, o: pk.unfold_mean_ref(g, o, l)), (gx, ohm)),
-        ("fold_rows", jax.jit(lambda w, o: pk.fold_rows_tpu(w, o, d)),
-         jax.jit(lambda w, o: pk.fold_rows_ref(w, o, d)), (wide, ohm)),
-        ("unfold_rows", jax.jit(pk.unfold_rows_tpu),
-         jax.jit(pk.unfold_rows_ref), (g_rows, ohm)),
+        ("fold_mean", jax.jit(lambda w, i, m: pk.fold_mean(w, i, m, l, d)),
+         jax.jit(lambda w, i, m: pk.fold_mean_ref(w, i, m, l, d)),
+         (wide, ids, mask)),
+        ("unfold_mean", jax.jit(lambda g, i, m: pk.unfold_mean(g, i, m, l)),
+         jax.jit(lambda g, i, m: pk.unfold_mean_ref(g, i, m, l)),
+         (gx, ids, mask)),
+        ("fold_rows", jax.jit(lambda w, i, m: pk.fold_rows(w, i, m, d)),
+         jax.jit(lambda w, i, m: pk.fold_rows_ref(w, i, m, d)),
+         (wide, ids, mask)),
+        ("unfold_rows", jax.jit(pk.unfold_rows),
+         jax.jit(pk.unfold_rows_ref), (g_rows, ids, mask)),
     ]
     for name, tpu_fn, ref_fn, args in pairs:
         a = np.asarray(tpu_fn(*args))
@@ -47,7 +48,7 @@ for (l, d, x) in [(5, 8, 4096), (5, 8, 65536), (1, 8, 8192), (3, 16, 6144),
         worst = max(worst, rel)
         status = "OK " if rel < 1e-5 else "FAIL"
         print(f"{status} l={l} d={d} x={x:6d} {name:12s} "
-              f"max_abs={err:.3e} rel={rel:.3e}", flush=True)
+          f"max_abs={err:.3e} rel={rel:.3e}", flush=True)
 
 print(f"worst rel err = {worst:.3e}")
 assert worst < 1e-5, worst

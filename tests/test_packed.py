@@ -64,15 +64,16 @@ def test_fold_unfold_reference_roundtrip():
     mask = (rng.random(e) > 0.3).astype(np.float32)
     w = rng.normal(size=(rows, d)).astype(np.float32)
     wp = packed.pack_table(jnp.asarray(w))
+    wide = jnp.take(wp, jnp.asarray(ids) // pg, axis=0)
 
-    out = np.asarray(packed.fold_mean(wp, jnp.asarray(ids), jnp.asarray(mask),
-                                      l, d))
+    out = np.asarray(packed.fold_mean(wide, jnp.asarray(ids),
+                                      jnp.asarray(mask), l, d))
     # direct: table row id, masked, summed over each row's L consecutive ids
     sel = w[ids] * mask[:, None]
     np.testing.assert_allclose(out, sel.reshape(x, l, d).sum(1), atol=1e-5)
 
-    seq = np.asarray(packed.fold_rows(wp, jnp.asarray(ids), jnp.asarray(mask),
-                                      d))
+    seq = np.asarray(packed.fold_rows(wide, jnp.asarray(ids),
+                                      jnp.asarray(mask), d))
     np.testing.assert_allclose(seq, sel, atol=1e-5)
 
     gx = rng.normal(size=(x, d)).astype(np.float32)
