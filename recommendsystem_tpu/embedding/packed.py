@@ -27,9 +27,11 @@ occupies 16x its logical bytes — measured on chip, scripts/probe6.py):
                     accumulator, unpacked by pure reshapes
             state = lazy dense per-row optimizer pass (HBM-bandwidth bound)
 
-Headline effect (autoint, batch 64k, 24 x 265k x 8 tables, real v5e):
-4142 ms/step (round-2) -> 402 ms (dense-G scatter) -> ~230 ms (Pallas
-fold/unfold) -> this path.
+Headline effect (autoint, batch 64k, 24 x 265k x 8 tables, real v5e,
+fetch-verified windows): 4142 ms/step (round-2 classic scatter) -> 402 ms
+(dense-G scatter) -> ~290 ms (ohm-bitmap Pallas variant, superseded) ->
+264.7 ms/step for THIS path (from-ids b-major Pallas fold/unfold,
+BENCH_r03).
 
 Gather locality: jnp.take from a <~40 MB target runs at 3.5 ns/id but jumps
 to ~11.7 ns/id above ~128 MB (scripts: /tmp/takecurve), so storage grouping
@@ -403,8 +405,9 @@ def unfold_rows(g, ids, mask) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class Segment:
-    """One contiguous slice of a storage's flat id/wide stream."""
-    kind: str                # 'mean' (l-major) or 'seq' (b-major)
+    """One contiguous slice of a storage's flat id/wide stream.  Streams are
+    b-major throughout: each column's (B, L) ids flatten row-major."""
+    kind: str                # 'mean' or 'seq'
     keys: Tuple[str, ...]    # member columns (same L for 'mean')
     l: int                   # ids per example
     start: int               # row offset in the storage stream

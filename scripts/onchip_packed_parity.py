@@ -1,6 +1,9 @@
 """On-chip parity: packed fold/unfold Pallas kernels (from-ids, b-major)
-vs the jnp reference, across the (L, D) shapes the zoo uses."""
-import os, sys
+vs the jnp reference, across the (L, D) shapes the zoo uses.  Writes the
+worst-case relative error to ONCHIP_PARITY.json at the repo root (the
+per-round recorded gate — VERDICT r3 #6); the same checks run in-suite on
+TPU backends (tests/test_packed.py::test_tpu_kernels_match_reference)."""
+import json, os, sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 import jax, jax.numpy as jnp
@@ -51,5 +54,10 @@ for (l, d, x) in [(5, 8, 4096), (5, 8, 65536), (1, 8, 8192), (3, 16, 6144),
           f"max_abs={err:.3e} rel={rel:.3e}", flush=True)
 
 print(f"worst rel err = {worst:.3e}")
+with open(os.path.join(REPO, "ONCHIP_PARITY.json"), "w") as fh:
+    json.dump({"worst_rel_err": worst, "ok": bool(worst < 1e-5),
+               "device": str(jax.devices()[0]),
+               "kernels": ["fold_mean", "unfold_mean", "fold_rows",
+                           "unfold_rows"]}, fh, indent=1)
 assert worst < 1e-5, worst
 print("ALL PARITY OK")

@@ -1,5 +1,9 @@
 """Fold/unfold kernel variants at headline shapes: block-size scan + an
 all-L-in-one-grid-step variant (3-D blocks over an (L, X, 128) view)."""
+# NOTE: historical measurement record of a SUPERSEDED packed-path design
+# (ohm-bitmap / l-major fold helpers deleted from embedding/packed.py at
+# HEAD).  Kept as documentation of the measurements that drove the from-ids
+# b-major redesign; this script no longer runs.
 import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

@@ -8,6 +8,10 @@ Backward: Pallas unfold -> scatter  vs  jnp unfold (fused into scatter
 Shapes: one autoint headline storage (4 x 265104-row x 8-dim tables,
 E = 1.31M stream rows, l=5).
 """
+# NOTE: historical measurement record of a SUPERSEDED packed-path design
+# (ohm-bitmap / l-major fold helpers deleted from embedding/packed.py at
+# HEAD).  Kept as documentation of the measurements that drove the from-ids
+# b-major redesign; this script no longer runs.
 import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

@@ -6,6 +6,10 @@ fold_mean: grid (X/CX, L); scratch (CX,128) accumulates sum over l;
            at l==L-1 fold lanes to D via const MXU matmul.
 unfold:    same grid; each (i,l) step writes gX@FOLD^T * gradmask + cntmask.
 """
+# NOTE: historical measurement record of a SUPERSEDED packed-path design
+# (ohm-bitmap / l-major fold helpers deleted from embedding/packed.py at
+# HEAD).  Kept as documentation of the measurements that drove the from-ids
+# b-major redesign; this script no longer runs.
 import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

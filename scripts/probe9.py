@@ -6,6 +6,10 @@ B: ONE storage-wide scatter, phys = ids // ps (no concats; valid because the
 C: per-table scatter on contiguous span views (no concat, 20 small scatters)
 D: fold/unfold with budget_rows 2048 vs 4096 vs 8192
 """
+# NOTE: historical measurement record of a SUPERSEDED packed-path design
+# (ohm-bitmap / l-major fold helpers deleted from embedding/packed.py at
+# HEAD).  Kept as documentation of the measurements that drove the from-ids
+# b-major redesign; this script no longer runs.
 import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

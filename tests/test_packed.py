@@ -1,9 +1,13 @@
 """Lane-packed embedding path (embedding/packed.py): plan/layout unit tests
 and train-step parity vs the classic scatter and dense paths.
 
-The packed path is plain jnp (XLA fuses the gather into the lane fold — see
-the module docstring), so CPU tests exercise the identical code path that
-runs on TPU.
+On TPU the fold/unfold stages run Pallas kernels; on CPU (this suite's
+default 8-device mesh) they fall back to the pure-jnp ``*_ref``
+implementations — same math and layouts, different code.  CPU tests
+therefore pin the pipeline shape and the *_ref numerics;
+``test_tpu_kernels_match_reference`` below runs the real kernels against the
+refs when the suite executes on a TPU backend (also run each round as
+``scripts/onchip_packed_parity.py``, recorded in ``ONCHIP_PARITY.json``).
 """
 
 import numpy as np
@@ -215,6 +219,34 @@ def test_unpackable_dims_fall_back_to_classic():
     batch, dense, labels, weight = synthetic_batch(bundle, 8, seed=0)
     _, losses = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernels run only on TPU; CPU uses _ref")
+@pytest.mark.parametrize("l,d,x", [(5, 8, 4096), (1, 8, 8192), (3, 16, 6144),
+                                   (2, 32, 10000), (7, 8, 4999)])
+def test_tpu_kernels_match_reference(l, d, x):
+    """Mosaic fold/unfold kernels vs the jnp reference on the real chip."""
+    rng = np.random.default_rng(0)
+    e = x * l
+    ids = jnp.asarray(rng.integers(0, 1 << 20, size=e).astype(np.int32))
+    mask = jnp.asarray((rng.random(e) > 0.3).astype(np.float32))
+    wide = jnp.asarray(rng.standard_normal((e, 128)), jnp.float32)
+    gx = jnp.asarray(rng.standard_normal((x, d)), jnp.float32)
+    g_rows = jnp.asarray(rng.standard_normal((e, d)), jnp.float32)
+    pairs = [
+        (packed.fold_mean(wide, ids, mask, l, d),
+         packed.fold_mean_ref(wide, ids, mask, l, d)),
+        (packed.unfold_mean(gx, ids, mask, l),
+         packed.unfold_mean_ref(gx, ids, mask, l)),
+        (packed.fold_rows(wide, ids, mask, d),
+         packed.fold_rows_ref(wide, ids, mask, d)),
+        (packed.unfold_rows(g_rows, ids, mask),
+         packed.unfold_rows_ref(g_rows, ids, mask)),
+    ]
+    for got, ref in pairs:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
 
 
 def test_lookup_packed_matches_classic():
