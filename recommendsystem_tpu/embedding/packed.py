@@ -6,23 +6,27 @@ pipeline that never materializes an E-scale array with a narrow trailing dim
 occupies 16x its logical bytes — measured on chip, scripts/probe6.py):
 
   forward   wp    = reshape(w, (rows/Pg, Pg*D)) + lane pad      (pure reshape)
-            wide  = take(wp, ids // Pg)                          (~3.5 ns/id)
+            wide  = take(wp, ids // Pg), promise_in_bounds (ids are
+                    hash-bounded, so the gather skips the out-of-bounds
+                    select pass XLA otherwise emits — 2 ms/storage on chip)
             out   = fold kernel: lane-select by ids % Pg (computed in-kernel
                     from the raw id stream — no precomputed lane bitmap),
                     summed over L (mean columns) or per-row (sequence
-                    columns).  Streams are b-major: each column's (B, L) ids
-                    flatten row-major, so stream build is pure reshapes.
-                    Measured per storage on chip (op-level trace +
-                    same-process phase A/B): Pallas fold 1.3 ms vs 6.7 ms
-                    for the best fused-XLA fold — XLA materializes the
-                    select/reduce intermediates; an earlier variant with a
-                    precomputed (E, 128) lane bitmap additionally paid
-                    1 GB/storage of bitmap traffic.
+                    columns).  Mean streams are L-MAJOR per column (a
+                    column's (B, L) ids transpose to (L, B) before
+                    flattening): the (E, 128) wide stream then reshapes FREE
+                    to (C, L, B, 128) — last-two dims (B, 128) tile cleanly —
+                    and the fold kernel blocks it 4-D.  The earlier b-major
+                    layout needed an (X, L, 128) view whose (L=5, 128)
+                    trailing dims sublane-pad 5->8, a materializing ~2.7
+                    ms/storage HBM relayout on each side of each kernel
+                    (op-level trace, round 4).
   backward  (the model is differentiated w.r.t. the folded activations, which
             are X-scale, so autodiff never sees an E-scale array)
-            pay   = unfold kernel: place d/d(out) into [grad | count] lane
-                    groups of Ps = 128 // (D+1) rows per 128-lane row,
-                    lane positions computed in-kernel from ids % Ps
+            pay   = unfold kernel (4-D blocks, same l-major layout): place
+                    d/d(out) into [grad | count] lane groups of
+                    Ps = 128 // (D+1) rows per 128-lane row, lane positions
+                    computed in-kernel from ids % Ps
             G,cnt = one scatter-add per member table into a (rows/Ps, 128)
                     accumulator, unpacked by pure reshapes
             state = lazy dense per-row optimizer pass (HBM-bandwidth bound)
@@ -30,8 +34,8 @@ occupies 16x its logical bytes — measured on chip, scripts/probe6.py):
 Headline effect (autoint, batch 64k, 24 x 265k x 8 tables, real v5e,
 fetch-verified windows): 4142 ms/step (round-2 classic scatter) -> 402 ms
 (dense-G scatter) -> ~290 ms (ohm-bitmap Pallas variant, superseded) ->
-264.7 ms/step for THIS path (from-ids b-major Pallas fold/unfold,
-BENCH_r03).
+264.7 ms (b-major 3-D Pallas fold/unfold, BENCH_r03) -> ~220 ms for THIS
+path (l-major 4-D kernels + promise_in_bounds gathers, round 4).
 
 Gather locality: jnp.take from a <~40 MB target runs at 3.5 ns/id but jumps
 to ~11.7 ns/id above ~128 MB (scripts: /tmp/takecurve), so storage grouping
@@ -152,12 +156,12 @@ def _select(wide, ids, mask, d):
     return jnp.where(sel, wide, 0.0)
 
 
-def fold_mean_ref(wide, ids, mask, l: int, d: int) -> jnp.ndarray:
-    """b-major (X*L, 128) wide rows (L consecutive rows per logical row) ->
-    (X, D) masked sums over L."""
-    x = ids.shape[0] // l
+def fold_mean_ref(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
+    """l-major (C*L*B, 128) wide rows (column-major; within a column, slot j
+    of logical row b sits at j*B + b) -> (C*B, D) masked sums over L."""
+    b = ids.shape[0] // (c * l)
     m = _select(wide, ids, mask, d)
-    s = m.reshape(x, l, _LANES).sum(1)
+    s = m.reshape(c, l, b, _LANES).sum(1).reshape(c * b, _LANES)
     return _dot_hi(s, fold_matrix(d))
 
 
@@ -179,13 +183,15 @@ def _scatter_lane_masks(ids, mask, d):
     return b1, b2
 
 
-def unfold_mean_ref(gx, ids, mask, l: int) -> jnp.ndarray:
-    """(X, D) grads of the sums -> (X*L, 128) scatter payload (b-major),
+def unfold_mean_ref(gx, ids, mask, c: int, l: int) -> jnp.ndarray:
+    """(C*B, D) grads of the sums -> (C*L*B, 128) scatter payload (l-major),
     grads in this row's [grad] lanes, 1.0 count in its [count] lane."""
     x, d = gx.shape
+    b = x // c
     b1, b2 = _scatter_lane_masks(ids, mask, d)
     gw = _dot_hi(gx, scatter_fold_matrix(d).T)       # (X, 128) broadcast lanes
-    gr = jnp.broadcast_to(gw[:, None, :], (x, l, _LANES)).reshape(x * l, _LANES)
+    gr = jnp.broadcast_to(gw.reshape(c, 1, b, _LANES),
+                          (c, l, b, _LANES)).reshape(c * l * b, _LANES)
     return gr * b1 + b2.astype(gw.dtype)
 
 
@@ -216,6 +222,22 @@ def _chunk(x_rows: int, budget_rows: int = 2048):
     return None
 
 
+def _chunk_l(b_rows: int, l: int, budget_rows: int):
+    """Per-column chunk for the 4-D mean kernels: largest divisor of the
+    column batch B with l * chunk within the VMEM row budget.  The chunk is
+    the MINOR dim of the (1, l, chunk) id/mask blocks, so Mosaic requires it
+    be a multiple of 128 — or the whole column (equal to the array dim)."""
+    cap = max(1, budget_rows // max(1, l))
+    if b_rows <= cap:
+        return b_rows
+    c = min(cap, b_rows) // 128 * 128
+    while c >= 128:
+        if b_rows % c == 0:
+            return c
+        c -= 128
+    return None
+
+
 def _lane_consts(d: int):
     """(1, 128) int32 lane->group / lane->sub maps for both packings."""
     _, _, g_grp, s_grp, s_sub = _lane_maps(d)
@@ -224,51 +246,55 @@ def _lane_consts(d: int):
             jnp.asarray(s_sub, jnp.int32)[None, :])
 
 
-def fold_mean(wide, ids, mask, l: int, d: int) -> jnp.ndarray:
+def fold_mean(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if l == 1:
         # single-id mean columns (the realistic VarLen common case) are
-        # per-row folds; the 2-D kernel avoids (x, 1) lane-padded blocks
+        # per-row folds; the 2-D kernel avoids degenerate-l blocks
         return fold_rows(wide, ids, mask, d)
-    x = ids.shape[0] // l
-    # one grid step folds ALL l slots of a chunk of logical rows; the wide
-    # block is l*cx*512 B double-buffered, so l*cx caps at ~5k rows within
-    # the 16 MB VMEM scoped limit (measured, scripts/probe10.py)
-    cx = _chunk(x, budget_rows=max(8, 5120 // max(1, l)))
+    b = ids.shape[0] // (c * l)
+    # one grid step folds ALL l slots of a chunk of one column's logical
+    # rows; the wide block is l*cx*512 B double-buffered, so l*cx caps at
+    # ~5k rows within the 16 MB VMEM scoped limit
+    cx = _chunk_l(b, l, 5120)
     if not on_tpu() or cx is None:
-        return fold_mean_ref(wide, ids, mask, l, d)
+        return fold_mean_ref(wide, ids, mask, c, l, d)
     g_grp, _, _ = _lane_consts(d)
     pg = gather_pack(d)
 
     def kernel(w_ref, i_ref, m_ref, g_ref, f_ref, out_ref):
-        # reshape/broadcast only 32-bit tensors (Mosaic can't insert or
-        # broadcast a minor dim on i1 vectors); the {0,1} mask multiplies
-        lg = jax.lax.rem(i_ref[:], jnp.int32(pg))[:, :, None]   # (cx, l, 1)
-        m = (jnp.where(g_ref[:][None, :, :] == lg, w_ref[:], 0.0)
-             * m_ref[:][:, :, None])                            # (cx, l, 128)
-        out_ref[:] = jnp.dot(m.sum(axis=1), f_ref[:],
+        # the (E, 128) wide stream reshapes FREE to (c, l, b, 128) (l-major
+        # streams; last-two dims (b, 128) keep the flat tiling), so the only
+        # relayout is the kernel-internal per-slot select/accumulate
+        acc = jnp.zeros((cx, _LANES), jnp.float32)
+        for j in range(l):
+            lg = jax.lax.rem(i_ref[0, j, :], jnp.int32(pg))[:, None]
+            acc += (jnp.where(g_ref[:] == lg, w_ref[0, j], 0.0)
+                    * m_ref[0, j, :][:, None])
+        out_ref[0] = jnp.dot(acc, f_ref[:],
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
 
-    return pl.pallas_call(
-        kernel, grid=(x // cx,),
-        in_specs=[pl.BlockSpec((cx, l, _LANES), lambda i: (i, 0, 0),
+    out = pl.pallas_call(
+        kernel, grid=(c, b // cx),
+        in_specs=[pl.BlockSpec((1, l, cx, _LANES), lambda ci, i: (ci, 0, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                  pl.BlockSpec((1, l, cx), lambda ci, i: (ci, 0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                  pl.BlockSpec((1, l, cx), lambda ci, i: (ci, 0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                  pl.BlockSpec((1, _LANES), lambda ci, i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_LANES, d), lambda i: (0, 0),
+                  pl.BlockSpec((_LANES, d), lambda ci, i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((cx, d), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, cx, d), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x, d), jnp.float32),
-    )(wide.reshape(x, l, _LANES), ids.reshape(x, l).astype(jnp.int32),
-      mask.reshape(x, l), g_grp, fold_matrix(d))
+        out_shape=jax.ShapeDtypeStruct((c, b, d), jnp.float32),
+    )(wide.reshape(c, l, b, _LANES), ids.reshape(c, l, b).astype(jnp.int32),
+      mask.reshape(c, l, b), g_grp, fold_matrix(d))
+    return out.reshape(c * b, d)
 
 
 def fold_rows(wide, ids, mask, d: int) -> jnp.ndarray:
@@ -308,53 +334,55 @@ def fold_rows(wide, ids, mask, d: int) -> jnp.ndarray:
       fold_matrix(d))
 
 
-def unfold_mean(gx, ids, mask, l: int) -> jnp.ndarray:
+def unfold_mean(gx, ids, mask, c: int, l: int) -> jnp.ndarray:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if l == 1:
         return unfold_rows(gx, ids, mask)
     x, d = gx.shape
+    b = x // c
     # tighter budget than the fold: the out block is the payload itself and
     # the surrounding step's scoped-vmem stack left <16 MB headroom (a
     # 5120-row budget overflowed by 0.5 MB inside the full jitted step)
-    cx = _chunk(x, budget_rows=max(8, 3072 // max(1, l)))
+    cx = _chunk_l(b, l, 3072)
     if not on_tpu() or cx is None:
-        return unfold_mean_ref(gx, ids, mask, l)
+        return unfold_mean_ref(gx, ids, mask, c, l)
     _, s_grp, s_sub = _lane_consts(d)
     ps = scatter_pack(d)
 
     def kernel(g_ref, i_ref, m_ref, sg_ref, ss_ref, f_ref, out_ref):
-        gw = jnp.dot(g_ref[:], f_ref[:],
+        gw = jnp.dot(g_ref[0], f_ref[:],
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)     # (cx, 128)
-        ls = jax.lax.rem(i_ref[:], jnp.int32(ps))[:, :, None]  # (cx, l, 1)
-        hit = (jnp.where(sg_ref[:][None, :, :] == ls, 1.0, 0.0)
-               * m_ref[:][:, :, None])                        # (cx, l, 128)
-        is_g = jnp.where(ss_ref[:][None, :, :] < d, 1.0, 0.0)
-        is_c = jnp.where(ss_ref[:][None, :, :] == d, 1.0, 0.0)
-        out_ref[:] = hit * (gw[:, None, :] * is_g + is_c)
+        is_g = jnp.where(ss_ref[:] < d, 1.0, 0.0)
+        is_c = jnp.where(ss_ref[:] == d, 1.0, 0.0)
+        for j in range(l):
+            ls = jax.lax.rem(i_ref[0, j, :], jnp.int32(ps))[:, None]
+            hit = (jnp.where(sg_ref[:] == ls, 1.0, 0.0)
+                   * m_ref[0, j, :][:, None])                 # (cx, 128)
+            out_ref[0, j] = hit * (gw * is_g + is_c)
 
     out = pl.pallas_call(
-        kernel, grid=(x // cx,),
-        in_specs=[pl.BlockSpec((cx, d), lambda i: (i, 0),
+        kernel, grid=(c, b // cx),
+        in_specs=[pl.BlockSpec((1, cx, d), lambda ci, i: (ci, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                  pl.BlockSpec((1, l, cx), lambda ci, i: (ci, 0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((cx, l), lambda i: (i, 0),
+                  pl.BlockSpec((1, l, cx), lambda ci, i: (ci, 0, i),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                  pl.BlockSpec((1, _LANES), lambda ci, i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, _LANES), lambda i: (0, 0),
+                  pl.BlockSpec((1, _LANES), lambda ci, i: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((d, _LANES), lambda i: (0, 0),
+                  pl.BlockSpec((d, _LANES), lambda ci, i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((cx, l, _LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, l, cx, _LANES), lambda ci, i: (ci, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x, l, _LANES), jnp.float32),
-    )(gx, ids.reshape(x, l).astype(jnp.int32), mask.reshape(x, l),
-      s_grp, s_sub, scatter_fold_matrix(d).T)
-    return out.reshape(x * l, _LANES)
+        out_shape=jax.ShapeDtypeStruct((c, l, b, _LANES), jnp.float32),
+    )(gx.reshape(c, b, d), ids.reshape(c, l, b).astype(jnp.int32),
+      mask.reshape(c, l, b), s_grp, s_sub, scatter_fold_matrix(d).T)
+    return out.reshape(c * l * b, _LANES)
 
 
 def unfold_rows(g, ids, mask) -> jnp.ndarray:
@@ -405,8 +433,12 @@ def unfold_rows(g, ids, mask) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class Segment:
-    """One contiguous slice of a storage's flat id/wide stream.  Streams are
-    b-major throughout: each column's (B, L) ids flatten row-major."""
+    """One contiguous slice of a storage's flat id/wide stream.  Mean
+    segments are L-MAJOR per column (a column's (B, L) ids transpose to
+    (L, B) before flattening, so the (E, 128) wide stream reshapes free to
+    (C, L, B, 128) for the 4-D kernels); seq segments stay b-major (their
+    (B, T, D) output requires it).  Either way each column occupies one
+    contiguous stream block, which is what ``table_spans`` relies on."""
     kind: str                # 'mean' or 'seq'
     keys: Tuple[str, ...]    # member columns (same L for 'mean')
     l: int                   # ids per example
@@ -472,15 +504,20 @@ def table_spans(eng, segs: List[Segment], batch) -> Dict[str, List[Tuple[int, in
 
 
 def storage_stream(eng, skey: str, segs: List[Segment], batch):
-    """Flat (ids, mask) stream of one storage, b-major throughout: each
-    column's (B, L) ids flatten row-major (a pure reshape — no transposes)
-    and columns concatenate in segment order."""
+    """Flat (ids, mask) stream of one storage: columns concatenate in
+    segment order, each column one contiguous block.  Mean columns flatten
+    L-MAJOR ((B, L) -> transpose -> (L, B) -> flat; XLA lays (B, L) id
+    arrays out column-major already, so the transpose is free); seq columns
+    flatten b-major (their (B, T, D) output requires it)."""
     ids_parts, mask_parts = [], []
     for seg in segs:
         for k in seg.keys:
-            ids_parts.append(_offset_rows(eng, k, batch).reshape(-1))
-            mask_parts.append(
-                batch[k].mask.reshape(-1).astype(jnp.float32))
+            rows = _offset_rows(eng, k, batch)
+            m = batch[k].mask.astype(jnp.float32)
+            if seg.kind == "mean":
+                rows, m = rows.T, m.T
+            ids_parts.append(rows.reshape(-1))
+            mask_parts.append(m.reshape(-1))
     return jnp.concatenate(ids_parts), jnp.concatenate(mask_parts)
 
 
@@ -500,14 +537,18 @@ def gather_fold(eng, weights, batch, plans) -> Dict[str, Any]:
         pg = gather_pack(d)
         ids, mask = storage_stream(eng, skey, segs, batch)
         wp = pack_table(weights[skey].astype(jnp.float32))
-        wide = jnp.take(wp, ids // pg, axis=0)
+        # ids are hash-bounded by construction; promising in-bounds drops
+        # the out-of-bounds select pass XLA otherwise fuses after the
+        # gather (~2 ms/storage on chip, op-level trace)
+        wide = wp.at[ids // pg].get(mode="promise_in_bounds")
         acts = []
         for seg in segs:
             w_seg = wide[seg.start:seg.start + seg.size]
             i_seg = ids[seg.start:seg.start + seg.size]
             m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
-                acts.append(fold_mean(w_seg, i_seg, m_seg, seg.l, d))
+                acts.append(fold_mean(w_seg, i_seg, m_seg, len(seg.keys),
+                                      seg.l, d))
             else:
                 acts.append(fold_rows(w_seg, i_seg, m_seg, d))
         out[skey] = {"acts": acts, "ids": ids, "mask": mask}
@@ -559,7 +600,8 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
             i_seg = ids[seg.start:seg.start + seg.size]
             m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
-                payloads.append(unfold_mean(g, i_seg, m_seg, seg.l))
+                payloads.append(unfold_mean(g, i_seg, m_seg, len(seg.keys),
+                                            seg.l))
             else:
                 payloads.append(unfold_rows(g.reshape(seg.size, d),
                                             i_seg, m_seg))

@@ -1,5 +1,5 @@
-"""On-chip parity: packed fold/unfold Pallas kernels (from-ids, b-major)
-vs the jnp reference, across the (L, D) shapes the zoo uses.  Writes the
+"""On-chip parity: packed fold/unfold Pallas kernels (from-ids, l-major
+4-D blocks) vs the jnp reference, across the (L, D) shapes the zoo uses.  Writes the
 worst-case relative error to ONCHIP_PARITY.json at the repo root (the
 per-round recorded gate — VERDICT r3 #6); the same checks run in-suite on
 TPU backends (tests/test_packed.py::test_tpu_kernels_match_reference)."""
@@ -20,8 +20,10 @@ assert pk.on_tpu(), "must run on the TPU chip"
 
 rng = np.random.default_rng(0)
 worst = 0.0
-for (l, d, x) in [(5, 8, 4096), (5, 8, 65536), (1, 8, 8192), (3, 16, 6144),
-                  (5, 48, 2048), (2, 32, 10000), (7, 8, 4999), (93, 8, 1024)]:
+for (c, l, d, b) in [(4, 5, 8, 1024), (4, 5, 8, 16384), (1, 1, 8, 8192),
+                     (2, 3, 16, 3072), (1, 5, 48, 2048), (1, 2, 32, 5000),
+                     (3, 7, 8, 713), (1, 93, 8, 1024)]:
+    x = c * b
     e = x * l
     ids = jnp.asarray(rng.integers(0, 1 << 20, size=e).astype(np.int32))
     mask = jnp.asarray((rng.random(e) > 0.3).astype(np.float32))
@@ -30,11 +32,11 @@ for (l, d, x) in [(5, 8, 4096), (5, 8, 65536), (1, 8, 8192), (3, 16, 6144),
     g_rows = jnp.asarray(rng.standard_normal((e, d)), jnp.float32)
 
     pairs = [
-        ("fold_mean", jax.jit(lambda w, i, m: pk.fold_mean(w, i, m, l, d)),
-         jax.jit(lambda w, i, m: pk.fold_mean_ref(w, i, m, l, d)),
+        ("fold_mean", jax.jit(lambda w, i, m: pk.fold_mean(w, i, m, c, l, d)),
+         jax.jit(lambda w, i, m: pk.fold_mean_ref(w, i, m, c, l, d)),
          (wide, ids, mask)),
-        ("unfold_mean", jax.jit(lambda g, i, m: pk.unfold_mean(g, i, m, l)),
-         jax.jit(lambda g, i, m: pk.unfold_mean_ref(g, i, m, l)),
+        ("unfold_mean", jax.jit(lambda g, i, m: pk.unfold_mean(g, i, m, c, l)),
+         jax.jit(lambda g, i, m: pk.unfold_mean_ref(g, i, m, c, l)),
          (gx, ids, mask)),
         ("fold_rows", jax.jit(lambda w, i, m: pk.fold_rows(w, i, m, d)),
          jax.jit(lambda w, i, m: pk.fold_rows_ref(w, i, m, d)),
@@ -43,14 +45,14 @@ for (l, d, x) in [(5, 8, 4096), (5, 8, 65536), (1, 8, 8192), (3, 16, 6144),
          jax.jit(pk.unfold_rows_ref), (g_rows, ids, mask)),
     ]
     for name, tpu_fn, ref_fn, args in pairs:
-        a = np.asarray(tpu_fn(*args))
-        b = np.asarray(ref_fn(*args))
-        err = float(np.max(np.abs(a - b)))
-        scale = float(np.max(np.abs(b))) + 1e-9
+        got = np.asarray(tpu_fn(*args))
+        ref = np.asarray(ref_fn(*args))
+        err = float(np.max(np.abs(got - ref)))
+        scale = float(np.max(np.abs(ref))) + 1e-9
         rel = err / scale
         worst = max(worst, rel)
         status = "OK " if rel < 1e-5 else "FAIL"
-        print(f"{status} l={l} d={d} x={x:6d} {name:12s} "
+        print(f"{status} c={c} l={l} d={d} b={b:6d} {name:12s} "
           f"max_abs={err:.3e} rel={rel:.3e}", flush=True)
 
 print(f"worst rel err = {worst:.3e}")

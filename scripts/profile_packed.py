@@ -131,7 +131,7 @@ def main():
                 m_seg = mask_[seg.start:seg.start + seg.size]
                 d = g.shape[-1]
                 if seg.kind == "mean":
-                    p = pk.unfold_mean(g, i_seg, m_seg, seg.l)
+                    p = pk.unfold_mean(g, i_seg, m_seg, len(seg.keys), seg.l)
                 else:
                     p = pk.unfold_rows(g.reshape(seg.size, d), i_seg, m_seg)
                 tot += p[-1, -1]

@@ -58,9 +58,12 @@ def test_max_group_bytes_splits_groups():
 
 
 def test_fold_unfold_reference_roundtrip():
-    """fold_mean / unfold_mean against a direct per-id computation."""
+    """fold_mean / unfold_mean against a direct per-id computation.  Mean
+    streams are l-major per column (c=2 columns here): the stream position of
+    (column ci, slot j, row b) is ci*l*b_rows + j*b_rows + b."""
     rng = np.random.default_rng(0)
-    d, l, x = 8, 5, 64
+    d, l, c, b = 8, 5, 2, 32
+    x = c * b
     pg, dp = packed.gather_pack(d), d + 1
     e = x * l
     rows = 1008                              # multiple of pg and ps
@@ -71,10 +74,12 @@ def test_fold_unfold_reference_roundtrip():
     wide = jnp.take(wp, jnp.asarray(ids) // pg, axis=0)
 
     out = np.asarray(packed.fold_mean(wide, jnp.asarray(ids),
-                                      jnp.asarray(mask), l, d))
-    # direct: table row id, masked, summed over each row's L consecutive ids
+                                      jnp.asarray(mask), c, l, d))
+    # direct: table row id, masked, summed over each row's L slots (l-major:
+    # slot j of logical row (ci, b) sits at stream row ci*l*b + j*b + b)
     sel = w[ids] * mask[:, None]
-    np.testing.assert_allclose(out, sel.reshape(x, l, d).sum(1), atol=1e-5)
+    ref_sum = sel.reshape(c, l, b, d).sum(1).reshape(x, d)
+    np.testing.assert_allclose(out, ref_sum, atol=1e-5)
 
     seq = np.asarray(packed.fold_rows(wide, jnp.asarray(ids),
                                       jnp.asarray(mask), d))
@@ -82,10 +87,11 @@ def test_fold_unfold_reference_roundtrip():
 
     gx = rng.normal(size=(x, d)).astype(np.float32)
     pay = np.asarray(packed.unfold_mean(jnp.asarray(gx), jnp.asarray(ids),
-                                        jnp.asarray(mask), l))
+                                        jnp.asarray(mask), c, l))
     ps = packed.scatter_pack(d)
     ref = np.zeros((e, 128), np.float32)
-    xs = np.repeat(np.arange(x), l)          # b-major
+    # l-major: stream row index -> logical row ci*b + b0
+    xs = (np.arange(e) // (l * b)) * b + (np.arange(e) % b)
     for j in range(d):
         ref[np.arange(e), (ids % ps) * dp + j] = gx[xs, j] * mask
     ref[np.arange(e), (ids % ps) * dp + d] += mask
@@ -223,11 +229,14 @@ def test_unpackable_dims_fall_back_to_classic():
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Pallas kernels run only on TPU; CPU uses _ref")
-@pytest.mark.parametrize("l,d,x", [(5, 8, 4096), (1, 8, 8192), (3, 16, 6144),
-                                   (2, 32, 10000), (7, 8, 4999)])
-def test_tpu_kernels_match_reference(l, d, x):
-    """Mosaic fold/unfold kernels vs the jnp reference on the real chip."""
+@pytest.mark.parametrize("c,l,d,b", [(4, 5, 8, 1024), (1, 1, 8, 8192),
+                                     (2, 3, 16, 1024), (1, 2, 32, 5000),
+                                     (3, 7, 8, 713)])
+def test_tpu_kernels_match_reference(c, l, d, b):
+    """Mosaic fold/unfold kernels vs the jnp reference on the real chip
+    (odd b falls back to _ref inside the kernel wrappers — still parity)."""
     rng = np.random.default_rng(0)
+    x = c * b
     e = x * l
     ids = jnp.asarray(rng.integers(0, 1 << 20, size=e).astype(np.int32))
     mask = jnp.asarray((rng.random(e) > 0.3).astype(np.float32))
@@ -235,10 +244,10 @@ def test_tpu_kernels_match_reference(l, d, x):
     gx = jnp.asarray(rng.standard_normal((x, d)), jnp.float32)
     g_rows = jnp.asarray(rng.standard_normal((e, d)), jnp.float32)
     pairs = [
-        (packed.fold_mean(wide, ids, mask, l, d),
-         packed.fold_mean_ref(wide, ids, mask, l, d)),
-        (packed.unfold_mean(gx, ids, mask, l),
-         packed.unfold_mean_ref(gx, ids, mask, l)),
+        (packed.fold_mean(wide, ids, mask, c, l, d),
+         packed.fold_mean_ref(wide, ids, mask, c, l, d)),
+        (packed.unfold_mean(gx, ids, mask, c, l),
+         packed.unfold_mean_ref(gx, ids, mask, c, l)),
         (packed.fold_rows(wide, ids, mask, d),
          packed.fold_rows_ref(wide, ids, mask, d)),
         (packed.unfold_rows(g_rows, ids, mask),
