@@ -587,46 +587,54 @@ def combine_from_acts(eng, plans, ctx, batch):
 def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
     """Stage 3 (NOT differentiated): unfold the activation grads into
     [grad | count] lane payloads and scatter-add them per member table
-    (small targets are ~6x faster; each table sees only its own stream
-    spans), then run the lazy dense optimizer pass (same update as the
-    classic paths)."""
+    (small targets are ~6x faster), then run the lazy dense optimizer pass
+    (same update as the classic paths).
+
+    Unfold runs PER COLUMN (each column is one contiguous stream block owned
+    by exactly one table), so every payload feeds its scatter directly —
+    slicing a multi-column payload for the per-table scatters materialized a
+    0.5 ms copy per storage (round-4 op trace)."""
     new_state = dict(state)
     for skey, segs in plans.items():
         d = eng.storage[skey][1]
         ps = scatter_pack(d)
         ids, mask = ctx[skey]["ids"], ctx[skey]["mask"]
-        payloads = []
+        accs: Dict[str, Any] = {}
+
+        def scatter_col(tkey, s0, n, pay):
+            _, off, rows_t = eng.table_map[tkey]
+            np_t = -(-rows_t // ps)
+            phys = (ids[s0:s0 + n] - off) // ps        # off % ps == 0
+            acc = accs.get(tkey)
+            if acc is None:
+                acc = jnp.zeros((np_t, _LANES), jnp.float32)
+            accs[tkey] = acc.at[phys].add(pay, mode="drop")
+
         for seg, g in zip(segs, g_acts[skey]):
-            i_seg = ids[seg.start:seg.start + seg.size]
-            m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
-                payloads.append(unfold_mean(g, i_seg, m_seg, len(seg.keys),
-                                            seg.l))
+                c = len(seg.keys)
+                b = seg.size // (c * seg.l)
+                for ci, k in enumerate(seg.keys):
+                    s0 = seg.start + ci * seg.l * b
+                    pay = unfold_mean(g[ci * b:(ci + 1) * b],
+                                      ids[s0:s0 + seg.l * b],
+                                      mask[s0:s0 + seg.l * b], 1, seg.l)
+                    scatter_col(eng.columns[k].categorical_column.key,
+                                s0, seg.l * b, pay)
             else:
-                payloads.append(unfold_rows(g.reshape(seg.size, d),
-                                            i_seg, m_seg))
+                (k,) = seg.keys
+                pay = unfold_rows(g.reshape(seg.size, d),
+                                  ids[seg.start:seg.start + seg.size],
+                                  mask[seg.start:seg.start + seg.size])
+                scatter_col(eng.columns[k].categorical_column.key,
+                            seg.start, seg.size, pay)
 
-        def pay_slice(s, n):
-            """Payload rows [s, s+n) as a view of the owning segment's array
-            (spans never cross segments), avoiding a full-payload concat —
-            a 2x payload round-trip through HBM (scripts/probe9.py)."""
-            for seg, arr in zip(segs, payloads):
-                if seg.start <= s and s + n <= seg.start + seg.size:
-                    return arr[s - seg.start:s - seg.start + n]
-            raise AssertionError((s, n))
-
-        spans = table_spans(eng, segs, batch)
         g_parts, c_parts = [], []
         for off, tkey, rows_t in eng._storage_members(skey):
             lanes = ps * (d + 1)
             np_t = -(-rows_t // ps)
-            if tkey in spans:
-                # one scatter per contiguous stream span (no concat copies)
-                acc = jnp.zeros((np_t, _LANES), jnp.float32)
-                for s, n in spans[tkey]:
-                    phys = (ids[s:s + n] - off) // ps   # off % ps == 0
-                    acc = acc.at[phys].add(pay_slice(s, n), mode="drop")
-                flat = acc[:, :lanes].reshape(np_t * ps, d + 1)[:rows_t]
+            if tkey in accs:
+                flat = accs[tkey][:, :lanes].reshape(np_t * ps, d + 1)[:rows_t]
                 g_parts.append(flat[:, :d])
                 c_parts.append(flat[:, d:])
             else:

@@ -59,28 +59,40 @@ class InteractingLayer(nn.Module):
         return p
 
     def _xla_iteration(self, x, p, training, dropout=None):
+        """One attention iteration, batch-minor attention layout.
+
+        The head/field dims are tiny (F<=212, d_head<=8), so batched-dot
+        einsums force XLA into (24, 24)-minor layouts that lane-pad and
+        relayout between every op (~2.7 ms copies each at batch 64k, round-4
+        op trace).  Keeping BATCH as the minor dim — tensors (head, d_head,
+        field, B) — turns the attention contractions into VPU
+        broadcast-multiply-reduce fusions with no layout copies and exact
+        f32 arithmetic (the einsum form ran bf16 MXU passes): measured
+        71.7 -> 53.2 ms for a 3-iteration fwd+bwd at B=64k
+        (scripts/probe18.py), with parity to the einsum form within bf16
+        noise.  Math unchanged from reference ``InteractingLayer.py:41-60``.
+        """
         b, f, _ = x.shape
         u = self.unit_num
         dh = u // self.head_num
 
         flat = x.reshape(b * f, -1)
-        q = jax.nn.relu(flat @ p["wq"] + p["bq"]).reshape(b, f, u)
-        k = jax.nn.relu(flat @ p["wk"] + p["bk"]).reshape(b, f, u)
-        v = jax.nn.relu(flat @ p["wv"] + p["bv"]).reshape(b, f, u)
+        q = jax.nn.relu(flat @ p["wq"] + p["bq"])
+        k = jax.nn.relu(flat @ p["wk"] + p["bk"])
+        v = jax.nn.relu(flat @ p["wv"] + p["bv"])
         r = jax.nn.relu(flat @ p["wr"] + p["br"]).reshape(b, f, u) \
             if self.use_res else None
 
-        def heads(t):
-            return t.reshape(b, f, self.head_num, dh).transpose(0, 2, 1, 3)
+        def heads_t(t):                         # (head, d_head, field, B)
+            return t.reshape(b, f, self.head_num, dh).transpose(2, 3, 1, 0)
 
-        w = jnp.einsum("bhfd,bhgd->bhfg", heads(q), heads(k),
-                       preferred_element_type=jnp.float32) / (dh ** 0.5)
-        w = jax.nn.softmax(w, axis=-1)
+        qt, kt, vt = heads_t(q), heads_t(k), heads_t(v)
+        w = (qt[:, :, :, None, :] * kt[:, :, None, :, :]).sum(1) / (dh ** 0.5)
+        w = jax.nn.softmax(w, axis=2)           # (head, f, g, B), keys on g
         if dropout is not None:
             w = dropout(w)
-        o = jnp.einsum("bhfg,bhgd->bhfd", w, heads(v),
-                       preferred_element_type=jnp.float32)
-        o = o.transpose(0, 2, 1, 3).reshape(b, f, u)
+        o = (w[:, None, :, :, :] * vt[:, :, None, :, :]).sum(3)
+        o = o.transpose(3, 2, 0, 1).reshape(b, f, u)
         if self.use_res:
             o = o + r
         o = jax.nn.relu(o)
