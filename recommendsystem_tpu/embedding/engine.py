@@ -232,12 +232,15 @@ class EmbeddingFeatures:
         self.storage: Dict[str, Tuple[int, int]] = {}
 
         def stride_of(rows: int, dim: int) -> int:
-            """Member stride: rows padded so every member offset is a
-            multiple of both lane packings (and the shard count)."""
+            """Member stride: rows padded so every member offset AND every
+            shard boundary is a multiple of both lane packings — rows per
+            shard must stay pg/ps-aligned so a physical (128-lane) row never
+            straddles two shards and phys-row ownership equals row ownership
+            in the sharded packed exchange."""
             if not packed or not packed_mod.packable(dim):
                 return rows
-            a = math.lcm(packed_mod.gather_pack(dim),
-                         packed_mod.scatter_pack(dim), max(1, num_shards))
+            a = max(1, num_shards) * math.lcm(packed_mod.gather_pack(dim),
+                                              packed_mod.scatter_pack(dim))
             return -(-rows // a) * a
 
         if group_tables:

@@ -651,6 +651,163 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
     return new_state
 
 
+# ---------------------------------------------------------------------------
+# sharded mode: packed physical rows ride the all-to-all
+# ---------------------------------------------------------------------------
+#
+# The 512-B packed physical row is exactly the right transport granularity
+# for the ICI exchange: the gather ships (rows/Pg, 128) rows by phys id
+# (id // Pg) through the same fixed-capacity all-to-all as the classic
+# sharded path, and the backward routes [grad | count] payload rows to the
+# shard owning phys row id // Ps.  The engine aligns rows-per-shard to
+# lcm(Pg, Ps) (``stride_of``), so a physical row never straddles shards and
+# phys-row ownership equals row ownership.  Stage boundaries differ from the
+# local path: the sharded forward returns PER-COLUMN folded activations
+# (data-sharded leaves concatenate correctly across shards; the local path's
+# per-segment acts would interleave shard-locally).
+
+def fold_storage_cols(eng, skey, segs, batch, wide, ids, mask) -> Dict[str, Any]:
+    """Per-column folded activations of one storage: mean columns -> (B, D)
+    masked SUMS (combiner division happens in the differentiated combine
+    stage); seq columns -> (B*T, D) per-row values."""
+    d = eng.storage[skey][1]
+    out = {}
+    for seg in segs:
+        w_seg = wide[seg.start:seg.start + seg.size]
+        i_seg = ids[seg.start:seg.start + seg.size]
+        m_seg = mask[seg.start:seg.start + seg.size]
+        if seg.kind == "mean":
+            c = len(seg.keys)
+            b = seg.size // (c * seg.l)
+            act = fold_mean(w_seg, i_seg, m_seg, c, seg.l, d)
+            for ci, k in enumerate(seg.keys):
+                out[k] = act[ci * b:(ci + 1) * b]
+        else:
+            (k,) = seg.keys
+            out[k] = fold_rows(w_seg, i_seg, m_seg, d)
+    return out
+
+
+def combine_from_col_acts(eng, col_acts, batch):
+    """Differentiated combine stage over per-column folded activations
+    (classic combiner semantics, same math as ``combine_from_acts``)."""
+    outputs = {}
+    for k, act in col_acts.items():
+        col = eng.columns[k]
+        if col.is_sequence:
+            b, t = batch[k].rows.shape
+            outputs[k] = (act.reshape(b, t, -1), batch[k].mask.astype(bool))
+            continue
+        cnt = jnp.sum(batch[k].mask.astype(jnp.float32), axis=1, keepdims=True)
+        if col.combiner == "sum":
+            outputs[k] = act
+        elif col.combiner == "sqrtn":
+            outputs[k] = act / jnp.sqrt(jnp.maximum(cnt, 1.0))
+        else:
+            outputs[k] = act / jnp.maximum(cnt, 1.0)
+    return outputs
+
+
+def gather_fold_sharded(eng, weights, batch, mesh, storages, axis_name=None):
+    """Stage 1 of the sharded packed path (NOT differentiated): inside
+    shard_map, build local streams, exchange packed physical rows through
+    the all-to-all (phys id = id // Pg against the local (rows/Pg, 128)
+    shard), fold locally.  Returns {column: acts} with data-sharded leaves."""
+    from jax.sharding import PartitionSpec as P
+    from ..core.mesh import DATA_AXIS
+    from .engine import all_to_all_lookup
+    axis_name = axis_name or DATA_AXIS
+
+    plans_global = plan_segments(eng, batch, storages=storages)
+    out_keys = [k for segs in plans_global.values()
+                for seg in segs for k in seg.keys]
+
+    def local_fn(w, b):
+        plans = plan_segments(eng, b, storages=storages)
+        out = {}
+        for skey, segs in plans.items():
+            d = eng.storage[skey][1]
+            pg = gather_pack(d)
+            ids, mask = storage_stream(eng, skey, segs, b)
+            wp = pack_table(w[skey].astype(jnp.float32))
+            wide = all_to_all_lookup(wp, ids // pg, axis_name,
+                                     eng.a2a_capacity_factor)
+            out.update(fold_storage_cols(eng, skey, segs, b, wide, ids, mask))
+        return out
+
+    w_specs = jax.tree.map(lambda _: P(axis_name, None), weights)
+    b_specs = jax.tree.map(lambda _: P(axis_name), batch)
+    out_specs = {k: P(axis_name) for k in out_keys}
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(w_specs, b_specs),
+                       out_specs=out_specs, check_vma=False)
+    return fn(weights, batch)
+
+
+def apply_gradients_packed_sharded(eng, state, g_cols, batch, mesh, storages,
+                                   axis_name=None):
+    """Stage 3 of the sharded packed path (NOT differentiated): per-column
+    unfold into [grad | count] payload rows, route each 512-B payload row to
+    the shard owning phys row id // Ps (the PS push at packed-row
+    granularity), scatter-add into the local accumulator, unpack by pure
+    reshape (rows-per-shard is Ps-aligned) and run the lazy dense optimizer
+    pass on local rows."""
+    from jax.sharding import PartitionSpec as P
+    from ..core.mesh import DATA_AXIS
+    from .engine import route_grads_to_owners
+    axis_name = axis_name or DATA_AXIS
+
+    def local_fn(tables, gc, b):
+        plans = plan_segments(eng, b, storages=storages)
+        new = dict(tables)
+        for skey, segs in plans.items():
+            d = eng.storage[skey][1]
+            ps = scatter_pack(d)
+            ids, mask = storage_stream(eng, skey, segs, b)
+            pay_parts = []
+            for seg in segs:
+                i_seg = ids[seg.start:seg.start + seg.size]
+                m_seg = mask[seg.start:seg.start + seg.size]
+                if seg.kind == "mean":
+                    c = len(seg.keys)
+                    bl = seg.size // (c * seg.l)
+                    for ci, k in enumerate(seg.keys):
+                        o = ci * seg.l * bl
+                        pay_parts.append(unfold_mean(
+                            gc[k], i_seg[o:o + seg.l * bl],
+                            m_seg[o:o + seg.l * bl], 1, seg.l))
+                else:
+                    (k,) = seg.keys
+                    pay_parts.append(unfold_rows(
+                        gc[k].reshape(seg.size, d), i_seg, m_seg))
+            pay = pay_parts[0] if len(pay_parts) == 1 \
+                else jnp.concatenate(pay_parts)
+            rows_local = tables[skey]["w"].shape[0]
+            np_local = rows_local // ps
+            r_rows, r_pay, r_mask = route_grads_to_owners(
+                ids // ps, pay, mask, np_local, axis_name,
+                eng.a2a_capacity_factor)
+            acc = jnp.zeros((np_local, _LANES), jnp.float32)
+            acc = acc.at[r_rows].add(r_pay, mode="drop")
+            lanes = ps * (d + 1)
+            flat = acc[:, :lanes].reshape(rows_local, d + 1)
+            G, cnt = flat[:, :d], flat[:, d:]
+            tstate = tables[skey]
+            row_mask = (cnt > 0).astype(jnp.float32)
+            w, opt = eng.sparse_opt.update(tstate["w"].astype(jnp.float32), G,
+                                           tstate["opt"], row_mask)
+            new[skey] = {"w": w.astype(tstate["w"].dtype), "opt": opt,
+                         "show": tstate["show"] + cnt}
+        return new
+
+    t_specs = jax.tree.map(lambda _: P(axis_name, None), state)
+    g_specs = jax.tree.map(lambda _: P(axis_name), g_cols)
+    b_specs = jax.tree.map(lambda _: P(axis_name), batch)
+    fn = jax.shard_map(local_fn, mesh=mesh,
+                       in_specs=(t_specs, g_specs, b_specs),
+                       out_specs=t_specs, check_vma=False)
+    return fn(state, g_cols, batch)
+
+
 def lookup_packed(eng, weights, batch) -> Dict[str, Any]:
     """Forward-only packed lookup (eval / predict / serving): packed gather
     + fold for packable storages, classic fused gather for the rest.  Same

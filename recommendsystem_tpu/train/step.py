@@ -109,7 +109,10 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
       (``embedding/packed.py``): tables reshape to 128-lane physical rows so
       the gather moves full HBM transactions, lane fold/unfold fuse into the
       gather/scatter, and grads flow only to the folded per-column activations
-      (never an E-scale narrow array).  Storages that can't pack (dim > 42,
+      (never an E-scale narrow array).  With ``mode='sharded'`` the packed
+      512-B physical rows ride the fixed-capacity all-to-all (gather by
+      id // Pg, [grad | count] payload push by id // Ps) — the ICI exchange
+      at full-transaction granularity.  Storages that can't pack (dim > 42,
       bf16 storage, unaligned offsets) transparently use the classic scatter
       path within the same step; numerics match 'scatter' (tested).
       'scatter' (sharded-mode default) — differentiates w.r.t. the gathered
@@ -121,9 +124,6 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     """
     if sparse_update is None:
         sparse_update = "scatter" if mode == "sharded" else "packed"
-    if sparse_update == "packed" and mode == "sharded":
-        raise NotImplementedError("packed sparse_update is local-mode only; "
-                                  "use 'scatter' (the PS push) when sharded")
 
     import optax
     from ..embedding import packed as packed_mod
@@ -197,9 +197,17 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
         weights = eng.weights(state.tables)
         pk_storages, _ = packed_mod.storages_packed(eng)
         plans = packed_mod.plan_segments(eng, batch, storages=set(pk_storages))
-        # stage 1 (not differentiated): packed gather + lane-fold
-        ctx = packed_mod.gather_fold(eng, weights, batch, plans)
-        acts = {skey: c["acts"] for skey, c in ctx.items()}
+        sharded = mode == "sharded"
+        # stage 1 (not differentiated): packed gather + lane-fold.  Sharded
+        # mode exchanges packed 512-B physical rows over the all-to-all and
+        # returns per-column activations (data-sharded leaves).
+        if sharded:
+            acts = packed_mod.gather_fold_sharded(eng, weights, batch, mesh,
+                                                  set(pk_storages))
+            ctx = None
+        else:
+            ctx = packed_mod.gather_fold(eng, weights, batch, plans)
+            acts = {skey: c["acts"] for skey, c in ctx.items()}
         # columns whose storage can't pack go through the classic fused
         # gather within the same step
         classic_batch = {
@@ -207,11 +215,19 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
             if k in eng.columns
             and eng.table_map[eng.columns[k].categorical_column.key][0]
             not in plans}
-        raw = (eng.gather_raw(weights, classic_batch) if classic_batch else {})
+        if classic_batch:
+            raw = (eng.gather_raw_sharded(weights, classic_batch, mesh)
+                   if sharded else eng.gather_raw(weights, classic_batch))
+        else:
+            raw = {}
 
         def lfn(params, acts_, raw_):
-            embs = packed_mod.combine_from_acts(
-                eng, plans, {s: {"acts": a} for s, a in acts_.items()}, batch)
+            if sharded:
+                embs = packed_mod.combine_from_col_acts(eng, acts_, batch)
+            else:
+                embs = packed_mod.combine_from_acts(
+                    eng, plans, {s: {"acts": a} for s, a in acts_.items()},
+                    batch)
             if raw_:
                 embs.update(eng.combine_raw(raw_, classic_batch))
             return _model_outputs_and_loss(bundle, params, embs, labels,
@@ -226,12 +242,22 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
         params = optax.apply_updates(state.params, updates)
 
         # stage 3 (not differentiated): lane-unfold + per-table wide
-        # scatter + lazy dense optimizer pass
-        tables = packed_mod.apply_gradients_packed(eng, state.tables, g_acts,
-                                                   plans, ctx, batch)
+        # scatter + lazy dense optimizer pass.  Sharded mode routes
+        # [grad | count] payload rows to owner shards first (the PS push).
+        if sharded:
+            tables = packed_mod.apply_gradients_packed_sharded(
+                eng, state.tables, g_acts, batch, mesh, set(pk_storages))
+        else:
+            tables = packed_mod.apply_gradients_packed(eng, state.tables,
+                                                       g_acts, plans, ctx,
+                                                       batch)
         if classic_batch:
-            flat = eng.flatten_raw_grads(graw, classic_batch)
-            tables = eng.apply_gradients_scatter(tables, flat)
+            if sharded:
+                tables = eng.apply_gradients_scatter_sharded(
+                    tables, graw, classic_batch, mesh)
+            else:
+                flat = eng.flatten_raw_grads(graw, classic_batch)
+                tables = eng.apply_gradients_scatter(tables, flat)
 
         new_state = TrainState(params=params, opt_state=opt_state,
                                tables=tables, step=state.step + 1)

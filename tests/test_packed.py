@@ -258,6 +258,52 @@ def test_tpu_kernels_match_reference(c, l, d, b):
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize("model,kwargs", [
+    ("autoint", {"bucket_size": 64 * 8}),
+    ("staytime", {}),                    # seq columns through the exchange
+])
+def test_packed_sharded_matches_local(mesh8, model, kwargs):
+    """Packed-sharded (packed rows over the all-to-all, payload push to
+    owner shards) == packed-local == scatter-sharded, to optimizer-state
+    precision — the sharded packed path is a re-layout, not a different
+    algorithm."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from recommendsystem_tpu.train import state_shardings
+
+    n = 8
+    bundle = create_model(model, num_shards=n, **kwargs)
+    batch, dense, labels, weight = synthetic_batch(bundle, 4 * n, seed=0)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(7)
+
+    local_step = make_train_step(bundle, donate=False, sparse_update="packed")
+    l_state, l_info = local_step(state, batch, labels, weight, None, rng)
+
+    sh = state_shardings(bundle, state, mesh8)
+    data = NamedSharding(mesh8, P("data"))
+    s_state = jax.device_put(state, sh)
+    s_batch = jax.device_put(batch, jax.tree.map(lambda _: data, batch))
+    s_labels = jax.device_put(labels, jax.tree.map(lambda _: data, labels))
+    s_weight = jax.device_put(weight, data)
+
+    for su in ("packed", "scatter"):
+        step = make_train_step(bundle, mesh=mesh8, mode="sharded",
+                               donate=False, sparse_update=su)
+        st, info = step(s_state, s_batch, s_labels, s_weight, None, rng)
+        np.testing.assert_allclose(float(info["loss"]),
+                                   float(l_info["loss"]), rtol=1e-5,
+                                   err_msg=su)
+        for skey in l_state.tables:
+            np.testing.assert_allclose(
+                np.asarray(st.tables[skey]["w"]),
+                np.asarray(l_state.tables[skey]["w"]), atol=1e-5,
+                err_msg=f"{su}:{skey}")
+            np.testing.assert_array_equal(
+                np.asarray(st.tables[skey]["show"]),
+                np.asarray(l_state.tables[skey]["show"]),
+                err_msg=f"{su}:{skey}")
+
+
 def test_lookup_packed_matches_classic():
     bundle = create_model("staytime")
     eng = bundle.embedding
