@@ -81,9 +81,14 @@ def scatter_pack(d: int) -> int:
 
 
 def packable(d: int) -> bool:
-    """The packed path pays when >=2 logical rows share a physical row in
-    both packings."""
-    return gather_pack(d) >= 2 and scatter_pack(d) >= 2
+    """Any dim whose [grad | count] group fits one 128-lane row packs
+    (d <= 127).  Narrow dims (d <= 42) share >=2 logical rows per physical
+    row in both packings — the big win vs the (8,128)-tile lane-pad tax;
+    wide dims (43..127) degenerate to one row per physical row on one or
+    both sides, which still beats the classic path's narrow-array grads and
+    keeps every model on the same parity-locked code path (production ctr's
+    96-wide shared rows: ``rank/ctr/base_model.py:82-86``)."""
+    return d + 1 <= _LANES
 
 
 # ---------------------------------------------------------------------------
@@ -120,8 +125,10 @@ def scatter_fold_matrix(d: int) -> jnp.ndarray:
 
 
 def pack_table(w: jnp.ndarray) -> jnp.ndarray:
-    """(rows, D) -> (rows/Pg, 128), a pure reshape plus lane pad.  rows must
-    be a multiple of Pg (the engine pads table offsets accordingly)."""
+    """(rows, D) -> (rows/Pg, 128), a pure reshape plus lane pad in the
+    table's own dtype (bf16 rows stay bf16 — half the gather bytes; fold
+    kernels convert lanes to f32 at use).  rows must be a multiple of Pg
+    (the engine pads table offsets accordingly)."""
     rows, d = w.shape
     pg = gather_pack(d)
     assert rows % pg == 0, (rows, pg)
@@ -153,7 +160,7 @@ def _select(wide, ids, mask, d):
     pg = gather_pack(d)
     sel = ((g_grp[None, :] == (ids % pg).astype(jnp.int32)[:, None])
            & (mask > 0)[:, None])
-    return jnp.where(sel, wide, 0.0)
+    return jnp.where(sel, wide.astype(jnp.float32), 0.0)
 
 
 def fold_mean_ref(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
@@ -271,7 +278,8 @@ def fold_mean(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
         acc = jnp.zeros((cx, _LANES), jnp.float32)
         for j in range(l):
             lg = jax.lax.rem(i_ref[0, j, :], jnp.int32(pg))[:, None]
-            acc += (jnp.where(g_ref[:] == lg, w_ref[0, j], 0.0)
+            acc += (jnp.where(g_ref[:] == lg,
+                              w_ref[0, j].astype(jnp.float32), 0.0)
                     * m_ref[0, j, :][:, None])
         out_ref[0] = jnp.dot(acc, f_ref[:],
                              preferred_element_type=jnp.float32,
@@ -310,7 +318,8 @@ def fold_rows(wide, ids, mask, d: int) -> jnp.ndarray:
 
     def kernel(w_ref, i_ref, m_ref, g_ref, f_ref, out_ref):
         lg = jax.lax.rem(i_ref[:], jnp.int32(pg))            # (c, 1)
-        m = jnp.where(g_ref[:] == lg, w_ref[:], 0.0) * m_ref[:]  # (c, 128)
+        m = (jnp.where(g_ref[:] == lg, w_ref[:].astype(jnp.float32), 0.0)
+             * m_ref[:])                                     # (c, 128)
         out_ref[:] = jnp.dot(m, f_ref[:],
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
@@ -536,7 +545,7 @@ def gather_fold(eng, weights, batch, plans) -> Dict[str, Any]:
         d = eng.storage[skey][1]
         pg = gather_pack(d)
         ids, mask = storage_stream(eng, skey, segs, batch)
-        wp = pack_table(weights[skey].astype(jnp.float32))
+        wp = pack_table(weights[skey])
         # ids are hash-bounded by construction; promising in-bounds drops
         # the out-of-bounds select pass XLA otherwise fuses after the
         # gather (~2 ms/storage on chip, op-level trace)
@@ -729,7 +738,7 @@ def gather_fold_sharded(eng, weights, batch, mesh, storages, axis_name=None):
             d = eng.storage[skey][1]
             pg = gather_pack(d)
             ids, mask = storage_stream(eng, skey, segs, b)
-            wp = pack_table(w[skey].astype(jnp.float32))
+            wp = pack_table(w[skey])
             wide = all_to_all_lookup(wp, ids // pg, axis_name,
                                      eng.a2a_capacity_factor)
             out.update(fold_storage_cols(eng, skey, segs, b, wide, ids, mask))
@@ -829,13 +838,15 @@ def lookup_packed(eng, weights, batch) -> Dict[str, Any]:
 
 
 def storages_packed(eng) -> Tuple[List[str], List[str]]:
-    """Split storages into (packed, classic) sets.  Packed requires: f32
-    storage, packable dim, and P-aligned table offsets (the engine aligns
+    """Split storages into (packed, classic) sets.  Packed requires: f32 or
+    bf16 storage (bf16 lanes convert to f32 inside the fold kernels; grads,
+    payloads and optimizer math stay f32 — same round-trip as the classic
+    bf16 path), packable dim, and P-aligned table offsets (the engine aligns
     them when built with packing enabled)."""
     packed, classic = [], []
     for skey, (rows, d) in eng.storage.items():
         ok = (packable(d)
-              and eng.storage_dtype(d) == jnp.float32
+              and eng.storage_dtype(d) in (jnp.float32, jnp.bfloat16)
               and rows % gather_pack(d) == 0
               and all(off % gather_pack(d) == 0 and off % scatter_pack(d) == 0
                       for off, _, _ in eng._storage_members(skey)))

@@ -22,12 +22,14 @@ rng = np.random.default_rng(0)
 worst = 0.0
 for (c, l, d, b) in [(4, 5, 8, 1024), (4, 5, 8, 16384), (1, 1, 8, 8192),
                      (2, 3, 16, 3072), (1, 5, 48, 2048), (1, 2, 32, 5000),
-                     (3, 7, 8, 713), (1, 93, 8, 1024)]:
+                     (3, 7, 8, 713), (1, 93, 8, 1024), (1, 2, 96, 2048),
+                     (1, 3, 127, 1024)]:
     x = c * b
     e = x * l
     ids = jnp.asarray(rng.integers(0, 1 << 20, size=e).astype(np.int32))
     mask = jnp.asarray((rng.random(e) > 0.3).astype(np.float32))
     wide = jnp.asarray(rng.standard_normal((e, 128)), jnp.float32)
+    wide_bf16 = wide.astype(jnp.bfloat16)
     gx = jnp.asarray(rng.standard_normal((x, d)), jnp.float32)
     g_rows = jnp.asarray(rng.standard_normal((e, d)), jnp.float32)
 
@@ -43,6 +45,10 @@ for (c, l, d, b) in [(4, 5, 8, 1024), (4, 5, 8, 16384), (1, 1, 8, 8192),
          (wide, ids, mask)),
         ("unfold_rows", jax.jit(pk.unfold_rows),
          jax.jit(pk.unfold_rows_ref), (g_rows, ids, mask)),
+        ("fold_mean_bf16",
+         jax.jit(lambda w, i, m: pk.fold_mean(w, i, m, c, l, d)),
+         jax.jit(lambda w, i, m: pk.fold_mean_ref(w, i, m, c, l, d)),
+         (wide_bf16, ids, mask)),
     ]
     for name, tpu_fn, ref_fn, args in pairs:
         got = np.asarray(tpu_fn(*args))

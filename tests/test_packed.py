@@ -32,7 +32,11 @@ def test_pack_constants():
     assert packed.packable(8)
     assert packed.packable(16)
     assert packed.packable(42)
-    assert not packed.packable(64)           # scatter_pack(64) == 1
+    # wide dims degenerate to >=1 row per physical row but still pack
+    assert packed.gather_pack(96) == 1 and packed.scatter_pack(96) == 1
+    assert packed.packable(96)
+    assert packed.packable(127)
+    assert not packed.packable(128)          # grad+count needs d+1 lanes
 
 
 def test_engine_alignment():
@@ -170,6 +174,7 @@ def _run(bundle, sparse_update, batch, labels, weight, dense, steps=3):
     ("autoint", {"bucket_size": 250}),
     ("staytime", {}),                       # seq columns + AdaGrad + FFM dims
     ("finish", {"bucket_size": 300}),
+    ("ctr", {"bucket_size": 250}),          # d=48: Pg=2/Ps=2 packing
 ])
 def test_packed_step_matches_scatter(name, kwargs):
     bundle = create_model(name, **kwargs)
@@ -215,16 +220,65 @@ def test_packed_with_split_groups_matches_scatter():
                                    atol=1e-5, err_msg=skey)
 
 
-def test_unpackable_dims_fall_back_to_classic():
-    """A bundle with bf16 table storage packs nothing but still trains
-    through sparse_update='packed' (transparent classic fallback)."""
+def test_bf16_tables_pack_and_match_scatter():
+    """bf16 table storage goes through the packed path (bf16 lanes, f32
+    fold accumulation) and matches the classic scatter path exactly — both
+    round-trip weights through the same f32 update -> bf16 store."""
     bundle = create_model("autoint", bucket_size=250,
                           table_dtype=jnp.bfloat16)
     pk, classic = packed.storages_packed(bundle.embedding)
-    assert not pk and classic
-    batch, dense, labels, weight = synthetic_batch(bundle, 8, seed=0)
-    _, losses = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
-    assert np.isfinite(losses).all()
+    assert pk and not classic
+    batch, dense, labels, weight = synthetic_batch(bundle, 16, seed=0)
+    s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
+    s_sc, l_sc = _run(bundle, "scatter", batch, labels, weight, dense, steps=2)
+    np.testing.assert_allclose(l_pk, l_sc, rtol=1e-5)
+    for skey in s_sc.tables:
+        assert s_pk.tables[skey]["w"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(s_pk.tables[skey]["w"]),
+            np.asarray(s_sc.tables[skey]["w"]), err_msg=skey)
+
+
+def test_wide_dims_pack_production_ctr():
+    """The REAL production config's 96-wide shared rows (one row per
+    physical row on both packings) run the packed path with scatter
+    parity."""
+    from recommendsystem_tpu.models.ctr import production_ctr
+    bundle = production_ctr(
+        "/root/reference/rank/ctr/model_parameter.json", bucket_size=1024)
+    pk, classic = packed.storages_packed(bundle.embedding)
+    assert pk and not classic, (pk, classic)
+    assert {bundle.embedding.storage[s][1] for s in pk} == {96}
+    batch, dense, labels, weight = synthetic_batch(bundle, 8, seed=0,
+                                                   ids_per_feature=2)
+    s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
+    s_sc, l_sc = _run(bundle, "scatter", batch, labels, weight, dense, steps=2)
+    np.testing.assert_allclose(l_pk, l_sc, rtol=1e-5)
+    for skey in s_sc.tables:
+        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
+                                   np.asarray(s_sc.tables[skey]["w"]),
+                                   atol=1e-5, err_msg=skey)
+        np.testing.assert_array_equal(np.asarray(s_pk.tables[skey]["show"]),
+                                      np.asarray(s_sc.tables[skey]["show"]),
+                                      err_msg=skey)
+
+
+def test_unpackable_dims_fall_back_to_classic():
+    """Dims whose [grad | count] group exceeds 128 lanes (d > 127) stay on
+    the classic path; a mixed engine routes them transparently while the
+    rest packs."""
+    from recommendsystem_tpu.embedding.feature_column import (
+        category_column, embedding_column)
+    from recommendsystem_tpu.embedding.engine import EmbeddingFeatures
+    from recommendsystem_tpu.embedding.optimizers import SparseAdam
+
+    cols = [embedding_column(category_column("slot_1", bucket_size=224), 8),
+            embedding_column(category_column("slot_2", bucket_size=224), 160)]
+    eng = EmbeddingFeatures(cols, SparseAdam(), group_tables=True)
+    pk, classic = packed.storages_packed(eng)
+    d_of = {s: eng.storage[s][1] for s in eng.storage}
+    assert {d_of[s] for s in pk} == {8}
+    assert {d_of[s] for s in classic} == {160}
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
