@@ -43,15 +43,23 @@ class ModelBundle:
     compute_dtype: Any = None
 
     def init(self, rng, batch: Dict[str, IdBatch], dense_inputs=None):
-        """Initialize dense params + embedding tables."""
+        """Initialize dense params + embedding tables.  The module init runs
+        under jit: param shapes only depend on input SHAPES, and eager init
+        would materialize every intermediate of the forward trace (at
+        production widths the attention broadcast alone OOMs eagerly; under
+        jit XLA fuses it away)."""
         rng_t, rng_p, rng_d = jax.random.split(rng, 3)
         tables = self.embedding.init(rng_t)
         embs = self.embedding.lookup(self.embedding.weights(tables), batch)
         kwargs = {}
         if dense_inputs is not None:
             kwargs["dense_inputs"] = dense_inputs
-        variables = self.module.init({"params": rng_p, "dropout": rng_d},
-                                     embs, training=False, **kwargs)
+
+        def init_fn(rp, rd, embs_, kw):
+            return self.module.init({"params": rp, "dropout": rd},
+                                    embs_, training=False, **kw)
+
+        variables = jax.jit(init_fn)(rng_p, rng_d, embs, kwargs)
         return variables, tables
 
     def forward(self, variables, table_weights, batch, training=False,
