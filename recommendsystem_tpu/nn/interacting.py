@@ -58,47 +58,52 @@ class InteractingLayer(nn.Module):
             p["br"] = jnp.zeros((u,), jnp.float32)
         return p
 
-    def _xla_iteration(self, x, p, training, dropout=None):
-        """One attention iteration, batch-minor attention layout.
+    def _xla_iteration_t(self, x_t, p, training, dropout=None):
+        """One attention iteration in the fully-TRANSPOSED (d, field, B)
+        layout — batch is the minor (lane) dim end-to-end.
 
         The head/field dims are tiny (F<=212, d_head<=8), so batched-dot
         einsums force XLA into (24, 24)-minor layouts that lane-pad and
         relayout between every op (~2.7 ms copies each at batch 64k, round-4
-        op trace).  Keeping BATCH as the minor dim — tensors (head, d_head,
-        field, B) — turns the attention contractions into VPU
-        broadcast-multiply-reduce fusions with no layout copies and exact
-        f32 arithmetic (the einsum form ran bf16 MXU passes): measured
-        71.7 -> 53.2 ms for a 3-iteration fwd+bwd at B=64k
-        (scripts/probe18.py), with parity to the einsum form within bf16
-        noise.  Math unchanged from reference ``InteractingLayer.py:41-60``.
+        op trace).  With batch minor, the projections are (U, d)@(d, F*B)
+        MXU matmuls, the attention contractions are VPU broadcast-multiply-
+        reduce fusions (exact f32 — the einsum form ran bf16 MXU passes),
+        LayerNorm reduces over the LEADING u dim, and iterations chain
+        without any per-iteration transpose: 3-iteration fwd+bwd at B=64k
+        measured 53.6 -> 26.5 ms vs the per-iteration-transposed form and
+        71.7 ms for the original einsum form (scripts/probe18-19.py; parity
+        3.6e-7).  Math unchanged from reference ``InteractingLayer.py:41-60``.
         """
-        b, f, _ = x.shape
+        d, f, b = x_t.shape
         u = self.unit_num
         dh = u // self.head_num
+        flat = x_t.reshape(d, f * b)
 
-        flat = x.reshape(b * f, -1)
-        q = jax.nn.relu(flat @ p["wq"] + p["bq"])
-        k = jax.nn.relu(flat @ p["wk"] + p["bk"])
-        v = jax.nn.relu(flat @ p["wv"] + p["bv"])
-        r = jax.nn.relu(flat @ p["wr"] + p["br"]).reshape(b, f, u) \
-            if self.use_res else None
+        def proj(wkey, bkey):                   # -> (head, d_head, field, B)
+            z = jax.nn.relu(p[wkey].T @ flat + p[bkey][:, None])
+            return z.reshape(self.head_num, dh, f, b)
 
-        def heads_t(t):                         # (head, d_head, field, B)
-            return t.reshape(b, f, self.head_num, dh).transpose(2, 3, 1, 0)
-
-        qt, kt, vt = heads_t(q), heads_t(k), heads_t(v)
+        qt, kt, vt = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
         w = (qt[:, :, :, None, :] * kt[:, :, None, :, :]).sum(1) / (dh ** 0.5)
         w = jax.nn.softmax(w, axis=2)           # (head, f, g, B), keys on g
         if dropout is not None:
             w = dropout(w)
         o = (w[:, None, :, :, :] * vt[:, :, None, :, :]).sum(3)
-        o = o.transpose(3, 2, 0, 1).reshape(b, f, u)
+        o = o.reshape(u, f, b)
         if self.use_res:
-            o = o + r
+            rt = jax.nn.relu(p["wr"].T @ flat + p["br"][:, None])
+            o = o + rt.reshape(u, f, b)
         o = jax.nn.relu(o)
-        mu = jnp.mean(o, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
-        return (o - mu) * jax.lax.rsqrt(var + self.ln_epsilon) * p["gamma"] + p["beta"]
+        mu = jnp.mean(o, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(o - mu), axis=0, keepdims=True)
+        return ((o - mu) * jax.lax.rsqrt(var + self.ln_epsilon)
+                * p["gamma"][:, None, None] + p["beta"][:, None, None])
+
+    def _xla_iteration(self, x, p, training, dropout=None):
+        """(B, F, D) wrapper of the transposed iteration (used only on the
+        mixed fused/XLA path; the all-XLA loop stays in T-space)."""
+        out = self._xla_iteration_t(x.transpose(2, 1, 0), p, training, dropout)
+        return out.transpose(2, 1, 0)
 
     @nn.compact
     def __call__(self, inputs, training: bool = False):
@@ -118,9 +123,16 @@ class InteractingLayer(nn.Module):
         # (deterministic) can always take the fused kernel
         fused_ok = use_pallas() and not (self.use_dropout and training) \
             and self.use_res
+        if not fused_ok:
+            # all-XLA loop chains in the transposed (d, F, B) layout: ONE
+            # entry + ONE exit transpose for the whole stack
+            x_t = inputs.transpose(2, 1, 0)
+            for i in range(self.layer_num):
+                x_t = self._xla_iteration_t(x_t, p, training, dropout)
+            return x_t.transpose(2, 1, 0)
         output = inputs
         for i in range(self.layer_num):
-            if fused_ok and output.shape[-1] == p["wq"].shape[0]:
+            if output.shape[-1] == p["wq"].shape[0]:
                 output = interacting_attention(output, p, self.head_num,
                                                self.ln_epsilon)
             else:
