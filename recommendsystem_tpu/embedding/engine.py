@@ -36,7 +36,16 @@ from . import packed as packed_mod
 class IdBatch:
     """Padded, host-hashed ids of one feature: rows (B, L) int32 in
     [0, bucket); mask (B, L) {0,1}.  Registered as a pytree so batches flow
-    through jit/shard_map boundaries."""
+    through jit/shard_map boundaries.
+
+    CONTRACT: ``rows`` MUST already be hashed into [0, bucket_size) — the
+    engine's gathers run with ``mode="promise_in_bounds"`` (out-of-range ids
+    read undefined garbage rather than clamping; measured ~2 ms/storage
+    saved per step).  Every in-package constructor (``data/parse.py``,
+    ``data/synthetic.py``, ``data/native_loader.py``, ``serving/server.py``)
+    hashes with splitmix64 mod bucket and therefore satisfies it.  If you
+    build IdBatches by hand, run ``validate_batch(engine, batch)`` (host-side
+    numpy assert) before feeding them to lookup/train steps."""
 
     rows: Any
     mask: Any
@@ -48,6 +57,32 @@ class IdBatch:
 
 def pad_bucket(bucket_size: int, n_shards: int) -> int:
     return ((bucket_size + n_shards - 1) // n_shards) * n_shards
+
+
+def validate_batch(engine: "EmbeddingFeatures",
+                   batch: Dict[str, "IdBatch"]) -> None:
+    """Host-side bounds check of the IdBatch contract (see ``IdBatch``):
+    every id must lie in [0, bucket).  The engine's promise_in_bounds
+    gathers make out-of-range ids undefined behavior (silent garbage
+    embeddings), so externally-constructed batches should fail loudly here
+    instead.  Cheap (numpy max per column); not jittable by design."""
+    import numpy as np
+    for key, ib in batch.items():
+        col = engine.columns.get(key)
+        if col is None:
+            continue
+        bucket = col.categorical_column.bucket_size
+        rows = np.asarray(ib.rows)
+        if rows.size == 0:
+            continue
+        lo, hi = int(rows.min()), int(rows.max())
+        if lo < 0 or hi >= bucket:
+            raise ValueError(
+                f"IdBatch[{key}]: ids must be hashed into [0, {bucket}); "
+                f"got range [{lo}, {hi}]. Hash raw feasigns with the "
+                f"column's category_column (splitmix64 mod bucket) first — "
+                f"out-of-range ids read undefined rows under the engine's "
+                f"promise_in_bounds gathers.")
 
 
 def exchange_capacity(e: int, n: int, factor) -> int:
@@ -182,8 +217,12 @@ class EmbeddingFeatures:
         # 128-lane physical rows so gathers/scatters move full HBM
         # transactions instead of lane-padded narrow rows (16x blowup for
         # D=8 on TPU).  ``packed=True`` only ALIGNS table offsets (rows pad
-        # to lcm(gather_pack, scatter_pack, num_shards)); whether the packed
-        # kernels actually run is the train step's ``sparse_update`` choice.
+        # to num_shards * lcm(gather_pack, scatter_pack) — see ``stride_of``;
+        # NOTE round 4 changed this from lcm(pg, ps, num_shards), so sharded
+        # packable storages saved by earlier rounds have different padded
+        # shapes and won't restore — re-init or re-pad such checkpoints);
+        # whether the packed kernels actually run is the train step's
+        # ``sparse_update`` choice.
         self.packed = packed
         # cap on one storage group's byte size: jnp.take from a <~40 MB
         # target runs ~3.3x faster per id than from a >128 MB one (HBM

@@ -491,9 +491,12 @@ def plan_segments(eng, batch, storages=None) -> Dict[str, List[Segment]]:
 
 def table_spans(eng, segs: List[Segment], batch) -> Dict[str, List[Tuple[int, int]]]:
     """Static (start, size) spans of one storage's flat stream per member
-    table.  Streams are b-major, so each column is one contiguous (B*L)
-    block; adjacent same-table columns merge into one span (one scatter
-    call per table per segment in the common case)."""
+    table.  Each column occupies one contiguous (B*L) block of the stream —
+    true in both the historical b-major and the current l-major layouts,
+    because only the ordering WITHIN a column's block changed (round 4);
+    spans never straddle columns.  No production path calls this anymore
+    (the per-column unfold feeds scatters directly); kept for tests and
+    scripts/profile_packed.py."""
     spans: Dict[str, List[Tuple[int, int]]] = {}
     for seg in segs:
         off = seg.start

@@ -82,6 +82,11 @@ class ScoringService:
                         f"width is {max_len} (split the request or raise "
                         f"ids_per_feature/seq_max_len)")
             batch[key] = pad_ids(values, max_len, col.categorical_column.hash_ids)
+        # defends the promise_in_bounds gather contract against a
+        # hash_ids/bucket mismatch: corrupt ids fail loudly here instead of
+        # reading undefined table rows (host numpy max — negligible per req)
+        from ..embedding.engine import validate_batch
+        validate_batch(self.bundle.embedding, batch)
         return batch
 
     def warmup(self) -> None:

@@ -10,6 +10,13 @@ D: fold/unfold with budget_rows 2048 vs 4096 vs 8192
 # (ohm-bitmap / l-major fold helpers deleted from embedding/packed.py at
 # HEAD).  Kept as documentation of the measurements that drove the from-ids
 # b-major redesign; this script no longer runs.
+import sys as _sys
+print(__doc__)
+print("HISTORICAL: this probe measured the superseded ohm-bitmap/l-major packed"
+      " design; the helpers it drove were deleted from embedding/packed.py."
+      " Kept as the measurement record behind the from-ids b-major redesign."
+      " Exiting without running.")
+_sys.exit(0)
 import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
