@@ -359,12 +359,12 @@ def bench_sharded(n: int):
     def timed(step, state, batch, labels, weight, steps=8):
         rng = jax.random.PRNGKey(1)
         for _ in range(2):
-            state, _ = step(state, batch, labels, weight, None, rng)
-        jax.block_until_ready(state.params)
+            state, info = step(state, batch, labels, weight, None, rng)
+        fetch_scalar(info)
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, _ = step(state, batch, labels, weight, None, rng)
-        jax.block_until_ready(state.params)
+            state, info = step(state, batch, labels, weight, None, rng)
+        fetch_scalar(info)   # window ends in a host fetch (CLAUDE.md rules)
         return (time.perf_counter() - t0) / steps * 1e3   # ms/step
 
     local_ms = timed(make_train_step(bundle, donate=False),
@@ -377,12 +377,21 @@ def bench_sharded(n: int):
     s_labels = jax.device_put(labels, jax.tree.map(lambda _: data, labels))
     s_weight = jax.device_put(weight, data)
 
+    # the DEFAULT sharded configuration: packed 512-B physical rows over the
+    # bounded all-to-all ("auto" capacity resolves to 2.0 at these E; padding
+    # consumes none of it).  Assert the bound drops nothing real first.
+    report = bundle.embedding.a2a_drop_report(s_batch, mesh)
+    dropped = sum(jax.tree.leaves(report))
+    assert dropped == 0, f"bounded a2a dropped real entries: {report}"
+    packed_ms = timed(
+        make_train_step(bundle, mesh=mesh, mode="sharded", donate=False),
+        s_state, s_batch, s_labels, s_weight)
+    # classic scatter exchange: exact vs bounded capacity A/B
+    bundle.embedding.a2a_capacity_factor = None
     scatter_ms = timed(
         make_train_step(bundle, mesh=mesh, mode="sharded", donate=False,
                         sparse_update="scatter"),
         s_state, s_batch, s_labels, s_weight)
-    # production-pod configuration: bounded all-to-all buckets (2x the
-    # uniform expectation) — per-device exchange work O(E) instead of O(n·E)
     bundle.embedding.a2a_capacity_factor = 2.0
     bounded_ms = timed(
         make_train_step(bundle, mesh=mesh, mode="sharded", donate=False,
@@ -393,21 +402,25 @@ def bench_sharded(n: int):
         make_train_step(bundle, mesh=mesh, mode="sharded", donate=False,
                         sparse_update="dense"),
         s_state, s_batch, s_labels, s_weight)
+    bundle.embedding.a2a_capacity_factor = "auto"
 
     log(f"sharded({n}) ctr batch={batch_size} bucket=131072: "
-        f"local={local_ms:.1f} ms/step, sharded-scatter={scatter_ms:.1f} "
-        f"(exact) / {bounded_ms:.1f} (capacity x2), "
-        f"sharded-dense={dense_ms:.1f} "
+        f"local={local_ms:.1f} ms/step, sharded-packed={packed_ms:.1f} "
+        f"(default: bounded capacity, 0 drops), "
+        f"sharded-scatter={scatter_ms:.1f} (exact) / {bounded_ms:.1f} "
+        f"(capacity x2), sharded-dense={dense_ms:.1f} "
         f"(bounded scatter is {dense_ms / bounded_ms:.2f}x vs dense; "
         f"dense cost grows with table size, scatter does not)")
     print(json.dumps({
-        "metric": f"ctr_sharded{n}_scatter_ms_per_step_cpu_mesh",
-        "value": round(bounded_ms, 2),
+        "metric": f"ctr_sharded{n}_packed_ms_per_step_cpu_mesh",
+        "value": round(packed_ms, 2),
         "unit": "ms/step",
-        "vs_baseline": round(dense_ms / bounded_ms, 2),
+        "vs_baseline": round(dense_ms / packed_ms, 2),
         "local_ms_per_step": round(local_ms, 2),
         "sharded_scatter_exact_ms_per_step": round(scatter_ms, 2),
+        "sharded_scatter_bounded_ms_per_step": round(bounded_ms, 2),
         "sharded_dense_ms_per_step": round(dense_ms, 2),
+        "a2a_dropped_real_entries": dropped,
     }))
 
 

@@ -94,47 +94,75 @@ def exchange_capacity(e: int, n: int, factor) -> int:
     owner distribution is uniform, so capacity ``factor·E/n`` (factor ~2)
     overflows with probability ~exp(-E/n) ≈ 0 and restores O(E) per-device
     exchange work.  Overflowing entries are dropped and counted, never
-    silently mis-routed."""
+    silently mis-routed.
+
+    ``factor="auto"`` (the engine default) — bounded 2.0 when the exchange
+    is large enough that real-id overflow is statistically impossible
+    (E ≥ 256·n: a shard would need > 2E/n of E uniform draws,
+    P < exp(-E/3n) ≤ e⁻⁸⁵), exact otherwise (tiny test/debug exchanges,
+    where bit-parity with local mode matters more than scaling)."""
+    if factor == "auto":
+        factor = 2.0 if e >= 256 * n else None
     if factor is None:
         return e
     return max(1, min(e, -(-int(e * factor) // n)))
 
 
 def _owner_slots(flat_rows: jnp.ndarray, rows_per_shard: int, n: int,
-                 capacity: int):
+                 capacity: int, mask: Optional[jnp.ndarray] = None):
     """Routing plan for a fixed-capacity all-to-all exchange: for each of the
     E local entries, the owning shard, the shard-local row, a slot
     ``owner * capacity + rank`` (rank = position within that owner's bucket)
-    and an in-capacity flag (always true when capacity == E)."""
+    and an in-capacity flag (always true when capacity == E and no mask).
+
+    ``mask`` (E,) {0,1}: padding entries (mask 0, id 0 from the zero-fill
+    parse contract) would otherwise all rank into shard 0's bucket and
+    swallow its capacity — with realistic VarLen widths most of the stream
+    is padding, so a bounded exchange would drop REAL shard-0 entries.
+    With a mask, padded entries consume no capacity and are statically
+    dropped (their values are mask-zeroed downstream in every combine /
+    grad path, so routing them is pure waste)."""
     owner = flat_rows // rows_per_shard                    # (E,)
     local_row = flat_rows % rows_per_shard
     onehot = jax.nn.one_hot(owner, n, axis=0, dtype=jnp.int32)   # (n, E)
+    if mask is not None:
+        onehot = onehot * mask.astype(jnp.int32)[None, :]
     rank = jnp.cumsum(onehot, axis=1) - 1                  # (n, E) rank within owner bucket
     rank_of_i = jnp.take_along_axis(rank, owner[None, :], axis=0)[0]  # (E,)
-    if capacity >= flat_rows.shape[0]:
+    if capacity >= flat_rows.shape[0] and mask is None:
         in_cap = None   # statically exact: no overflow possible
         slot = owner * capacity + rank_of_i
     else:
         in_cap = rank_of_i < capacity
+        if mask is not None:
+            in_cap = in_cap & (mask > 0)
         # overflow -> out-of-range slot, dropped by scatter mode="drop"
         slot = jnp.where(in_cap, owner * capacity + rank_of_i, n * capacity)
     return owner, local_row, slot, in_cap
 
 
 def all_to_all_lookup(w_local: jnp.ndarray, flat_rows: jnp.ndarray,
-                      axis_name: str, capacity_factor=None) -> jnp.ndarray:
+                      axis_name: str, capacity_factor=None,
+                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Inside-shard_map distributed gather.
 
     ``w_local``: (rows_per_shard, D) — this device's contiguous row shard.
     ``flat_rows``: (E,) int32 global row ids needed by this device.
+    ``mask``: optional (E,) {0,1} — padding entries neither consume bounded
+    capacity nor get values back (zeros; they are mask-zeroed downstream
+    anyway).  Ignored when the capacity is exact (zero-overhead there).
     Returns (E, D) embeddings (zeros for entries dropped by a bounded
-    capacity — see ``exchange_capacity``; never happens when exact).
+    capacity — see ``exchange_capacity``; never happens for real entries
+    when exact, and statistically never for hashed-uniform real ids at
+    factor 2).
     """
     n = jax.lax.axis_size(axis_name)
     e = flat_rows.shape[0]
     cap = exchange_capacity(e, n, capacity_factor)
+    if cap >= e:
+        mask = None   # exact: every entry fits; skip the mask pass
     owner, local_row, slot, in_cap = _owner_slots(flat_rows, w_local.shape[0],
-                                                  n, cap)
+                                                  n, cap, mask)
     send_rows = jnp.zeros((n * cap,), jnp.int32).at[slot].set(local_row,
                                                               mode="drop")
     send_rows = send_rows.reshape(n, cap)
@@ -168,8 +196,9 @@ def route_grads_to_owners(flat_rows: jnp.ndarray, grads: jnp.ndarray,
     n = jax.lax.axis_size(axis_name)
     e = flat_rows.shape[0]
     cap = exchange_capacity(e, n, capacity_factor)
-    owner, local_row, slot, in_cap = _owner_slots(flat_rows, rows_per_shard,
-                                                  n, cap)
+    # padding (mask 0) consumes no bounded capacity — see _owner_slots
+    owner, local_row, slot, in_cap = _owner_slots(
+        flat_rows, rows_per_shard, n, cap, mask if cap < e else None)
     d = grads.shape[-1]
     if in_cap is not None:
         mask = mask * in_cap.astype(mask.dtype)
@@ -207,7 +236,7 @@ class EmbeddingFeatures:
     def __init__(self, embedding_columns: List[EmbeddingColumn], sparse_opt,
                  name: str = "sparse_emb_input", num_shards: int = 1,
                  group_tables: bool = False, table_dtype=jnp.float32,
-                 a2a_capacity_factor=None, packed: bool = True,
+                 a2a_capacity_factor="auto", packed: bool = True,
                  max_group_bytes: Optional[int] = 40 << 20):
         self.name = name
         self.sparse_opt = sparse_opt
@@ -232,7 +261,10 @@ class EmbeddingFeatures:
         # bounded all-to-all bucket capacity (see exchange_capacity): None =
         # exact (bit-parity with local mode); ~2.0 = production pods, where
         # hashed-uniform ids make overflow vanishingly rare and per-device
-        # exchange work drops from O(n·E) to O(E)
+        # exchange work drops from O(n·E) to O(E).  Default "auto": bounded
+        # 2.0 for large exchanges (E >= 256·n), exact for tiny ones — so
+        # pods scale by default and small parity tests stay exact.  Padding
+        # entries never consume bounded capacity (mask-aware routing).
         self.a2a_capacity_factor = a2a_capacity_factor
         # dedup ids per storage group before the gather: the padded id
         # stream repeats rows (padding + hot ids), so gathering unique rows
@@ -389,6 +421,55 @@ class EmbeddingFeatures:
                 per_storage.setdefault(skey, []).append(key)
         return per_storage
 
+    def a2a_drop_report(self, batch: Dict[str, "IdBatch"], mesh: Mesh,
+                        axis_name: str = DATA_AXIS) -> Dict[str, Dict[str, int]]:
+        """Count the REAL (non-padding) entries each bounded all-to-all
+        exchange would drop for this batch — the observable behind the
+        'dropped and counted, never silently mis-routed' contract.
+
+        Returns {storage_key: {granularity: count}} summed over devices,
+        where granularity is 'rows' (classic scatter/dense exchange) and,
+        for packable storages, 'phys_gather' / 'phys_push' (the packed
+        512-B-physical-row exchanges, id // Pg and id // Ps).  All zeros on
+        exact capacity; statistically always zero for hashed-uniform ids at
+        factor 2 — assert that in scaling drills (``dryrun_multichip``)."""
+        from . import packed as packed_mod
+        b_specs = jax.tree.map(lambda _: P(axis_name), batch)
+
+        def drops(ids, mask, rows_per_shard, n, cap):
+            _, _, _, in_cap = _owner_slots(ids, rows_per_shard, n, cap, mask)
+            if in_cap is None:
+                return jnp.int32(0)
+            valid = mask > 0
+            return jnp.sum((valid & ~in_cap).astype(jnp.int32))
+
+        def local_fn(b):
+            n = jax.lax.axis_size(axis_name)
+            out = {}
+            for skey, keys in self._per_storage_columns(b).items():
+                rows_storage, d = self.storage[skey]
+                rows_local = rows_storage // n
+                ids = jnp.concatenate(self._storage_flat_rows(skey, keys, b))
+                mask = jnp.concatenate([b[k].mask.reshape(-1) for k in keys])
+                e = ids.shape[0]
+                cap = exchange_capacity(e, n, self.a2a_capacity_factor)
+                rep = {"rows": drops(ids, mask, rows_local, n, cap)}
+                if packed_mod.packable(d):
+                    pg, ps = packed_mod.gather_pack(d), packed_mod.scatter_pack(d)
+                    if rows_local % pg == 0 and rows_local % ps == 0:
+                        rep["phys_gather"] = drops(ids // pg, mask,
+                                                   rows_local // pg, n, cap)
+                        rep["phys_push"] = drops(ids // ps, mask,
+                                                 rows_local // ps, n, cap)
+                out[skey] = jax.tree.map(
+                    lambda x: jax.lax.psum(x, axis_name), rep)
+            return out
+
+        fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(b_specs,),
+                           out_specs=P(), check_vma=False)
+        rep = jax.jit(fn)(batch)
+        return jax.tree.map(int, jax.device_get(rep))
+
     def _storage_flat_rows(self, skey: str, keys: List[str], batch):
         """Concatenated (offset-applied) flat row ids of every member column
         of one storage array, in member order."""
@@ -414,8 +495,14 @@ class EmbeddingFeatures:
                 all_ids, inv = jnp.unique(all_ids, return_inverse=True,
                                           size=all_ids.shape[0], fill_value=0)
             if mode == "sharded":
+                # flat padding mask rides along so padded entries don't
+                # consume bounded a2a capacity (deduped streams have no
+                # per-entry mask alignment — skip it there)
+                all_mask = None if inv is not None else jnp.concatenate(
+                    [batch[k].mask.reshape(-1) for k in keys])
                 gathered = all_to_all_lookup(weights[skey], all_ids, axis_name,
-                                             self.a2a_capacity_factor)
+                                             self.a2a_capacity_factor,
+                                             mask=all_mask)
             else:
                 # ids are hash-bounded (< bucket <= storage rows), so promise
                 # in-bounds: skips the out-of-bounds select pass XLA fuses

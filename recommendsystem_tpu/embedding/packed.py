@@ -742,8 +742,10 @@ def gather_fold_sharded(eng, weights, batch, mesh, storages, axis_name=None):
             pg = gather_pack(d)
             ids, mask = storage_stream(eng, skey, segs, b)
             wp = pack_table(w[skey])
+            # mask rides along: padded stream entries (id 0 -> phys row 0)
+            # must not consume shard 0's bounded a2a capacity
             wide = all_to_all_lookup(wp, ids // pg, axis_name,
-                                     eng.a2a_capacity_factor)
+                                     eng.a2a_capacity_factor, mask=mask)
             out.update(fold_storage_cols(eng, skey, segs, b, wide, ids, mask))
         return out
 

@@ -105,7 +105,7 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     dropout_rng) -> (state, metrics_dict).
 
     ``sparse_update``:
-      'packed' (local-mode default) — the lane-packed fast path
+      'packed' (the default, local AND sharded) — the lane-packed fast path
       (``embedding/packed.py``): tables reshape to 128-lane physical rows so
       the gather moves full HBM transactions, lane fold/unfold fuse into the
       gather/scatter, and grads flow only to the folded per-column activations
@@ -115,7 +115,7 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
       at full-transaction granularity.  Storages that can't pack (dim > 42,
       bf16 storage, unaligned offsets) transparently use the classic scatter
       path within the same step; numerics match 'scatter' (tested).
-      'scatter' (sharded-mode default) — differentiates w.r.t. the gathered
+      'scatter' — differentiates w.r.t. the gathered
       (B, L, D) activations and applies scatter row updates: O(batch ids)
       HBM traffic; when sharded, grads route to the owning shard over ICI
       (the PS push).
@@ -123,7 +123,11 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
       whole tables (O(table) HBM traffic — debugging/reference path only).
     """
     if sparse_update is None:
-        sparse_update = "scatter" if mode == "sharded" else "packed"
+        # packed is the production fast path in BOTH modes: sharded mode
+        # exchanges 512-B physical rows over the bounded all-to-all (STATUS
+        # "Beyond-reference scaling"); unpackable storages transparently
+        # fall back to the classic scatter exchange within the same step
+        sparse_update = "packed"
 
     import optax
     from ..embedding import packed as packed_mod

@@ -26,6 +26,8 @@ if MODEL == "ctr_production212":
     from recommendsystem_tpu.models.ctr import production_ctr
     bundle = production_ctr("/root/reference/rank/ctr/model_parameter.json",
                             bucket_size=int(os.environ.get("BUCKET", 32768)))
+elif MODEL == "staytime":
+    bundle = create_model(MODEL)   # staytime fixes its own buckets (81920)
 else:
     bundle = create_model(MODEL, bucket_size=int(os.environ.get("BUCKET", 265000)))
 batch, dense, labels, weight = synthetic_batch(bundle, BATCH, seed=0,
@@ -35,19 +37,21 @@ weight = jax.device_put(weight)
 dense = jax.device_put(dense) if dense is not None else None
 state = create_train_state(bundle, jax.random.PRNGKey(0), batch, dense)
 rng = jax.random.PRNGKey(1)
-step = make_train_step(bundle, donate=False, sparse_update=SPARSE)
+# donated, threaded state: the production212 table state (~6.6 GB w+m+v)
+# doesn't fit HBM twice, and donation is the production driver's regime
+step = make_train_step(bundle, donate=True, sparse_update=SPARSE)
 
 def fetch(x):
     return float(jax.tree.leaves(x)[0].ravel()[-1])
 
 t0 = time.perf_counter()
 for _ in range(2):
-    s2, info = step(state, batch, labels, weight, dense, rng)
+    state, info = step(state, batch, labels, weight, dense, rng)
 fetch(info)
 print(f"warmup+compile: {time.perf_counter()-t0:.1f}s", flush=True)
 t0 = time.perf_counter()
 for _ in range(5):
-    s2, info = step(state, batch, labels, weight, dense, rng)
+    state, info = step(state, batch, labels, weight, dense, rng)
 fetch(info)
 step_ms = (time.perf_counter() - t0) / 5 * 1e3
 print(f"fetch-verified step: {step_ms:.1f} ms ({BATCH/step_ms*1e3:,.0f} ex/s)",
@@ -57,7 +61,7 @@ tdir = "/tmp/trace_step"
 os.system(f"rm -rf {tdir}")
 with jax.profiler.trace(tdir):
     for _ in range(3):
-        s2, info = step(state, batch, labels, weight, dense, rng)
+        state, info = step(state, batch, labels, weight, dense, rng)
     fetch(info)
 
 # parse: find trace.json.gz

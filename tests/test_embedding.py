@@ -240,6 +240,60 @@ class TestShardedLookup:
         np.testing.assert_allclose(out[kept], local[kept], rtol=1e-6)
         assert dropped.sum() == (per_dev - 4) * n   # overflow beyond capacity
 
+    def test_bounded_capacity_padding_consumes_no_capacity(self, mesh8):
+        """The production regime: most stream entries are padding (mask 0,
+        id 0 from the zero-fill parse contract).  Without mask-aware routing
+        the padding would all rank into shard 0's bucket and overflow it,
+        dropping REAL shard-0 entries; with the mask passed, every real
+        entry survives a 2x bounded capacity and masked entries come back
+        as zeros (they are mask-zeroed downstream anyway)."""
+        from recommendsystem_tpu.embedding.engine import all_to_all_lookup
+        n, dim = 8, 4
+        rows_total = 64 * n
+        w = jax.random.normal(jax.random.PRNGKey(0), (rows_total, dim))
+        e = 64 * n
+        rng = np.random.default_rng(3)
+        # ~75% padding: real ids uniform, padding id 0 (all owned by shard 0)
+        mask = (rng.random(e) < 0.25).astype(np.float32)
+        flat = (rng.integers(0, rows_total, e) * mask).astype(np.int32)
+        local = np.asarray(jnp.take(w, flat, axis=0))
+        fn = jax.shard_map(
+            lambda wl, r, m: all_to_all_lookup(wl, r, "data",
+                                               capacity_factor=2.0, mask=m),
+            mesh=mesh8, in_specs=(P("data", None), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False)
+        out = np.asarray(fn(w, jnp.asarray(flat), jnp.asarray(mask)))
+        real = mask > 0
+        np.testing.assert_allclose(out[real], local[real], rtol=1e-6)
+        assert (out[~real] == 0).all()
+
+    def test_exchange_capacity_auto(self):
+        from recommendsystem_tpu.embedding.engine import exchange_capacity
+        n = 8
+        # large exchange: bounded 2x
+        assert exchange_capacity(256 * n, n, "auto") == \
+            exchange_capacity(256 * n, n, 2.0)
+        # small exchange: exact
+        assert exchange_capacity(100, n, "auto") == 100
+        assert exchange_capacity(100, n, None) == 100
+
+    def test_a2a_drop_report(self, mesh8):
+        """Uniform hashed ids at the bounded default: zero drops; a
+        pathologically skewed batch under a tight explicit bound: counted."""
+        eng = make_engine(bucket=64 * 8 * 8, num_shards=8)
+        b, l = 64 * 8, 8   # E = 4096 = 512/device -> auto resolves bounded
+        rng = np.random.default_rng(0)
+        rows = rng.integers(0, 64 * 8 * 8, (b, l)).astype(np.int32)
+        mask = np.ones((b, l), np.float32)
+        batch = {"f1": IdBatch(jnp.asarray(rows), jnp.asarray(mask))}
+        report = eng.a2a_drop_report(batch, mesh8)
+        assert sum(jax.tree.leaves(report)) == 0, report
+        # every id owned by shard 0, tight capacity -> real drops counted
+        eng.a2a_capacity_factor = 1.0
+        skew = {"f1": IdBatch(jnp.asarray(rows % 8), jnp.asarray(mask))}
+        report = eng.a2a_drop_report(skew, mesh8)
+        assert sum(jax.tree.leaves(report)) > 0, report
+
     def test_engine_sharded_mode(self, mesh8):
         eng = make_engine(bucket=64, num_shards=8)
         state = eng.init(jax.random.PRNGKey(0))
