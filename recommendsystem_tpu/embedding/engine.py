@@ -237,6 +237,7 @@ class EmbeddingFeatures:
                  name: str = "sparse_emb_input", num_shards: int = 1,
                  group_tables: bool = False, table_dtype=jnp.float32,
                  a2a_capacity_factor="auto", packed: bool = True,
+                 packed_state: bool = True,
                  max_group_bytes: Optional[int] = 40 << 20):
         self.name = name
         self.sparse_opt = sparse_opt
@@ -253,6 +254,16 @@ class EmbeddingFeatures:
         # whether the packed kernels actually run is the train step's
         # ``sparse_update`` choice.
         self.packed = packed
+        # packed OPTIMIZER STATE (``packed.state_packable``): qualifying
+        # storages (SparseAdam, f32, packable dim, Ps-aligned) store
+        # w/m/v as (rows/Ps, 128) lane groups with show/t on spare lanes —
+        # the backward accumulator already arrives in that layout, so the
+        # lazy Adam pass runs without acc unpack / pack_table / narrow
+        # (rows, 1) passes (~25-28 ms of the round-4 headline,
+        # PROFILE_r04.md).  Checkpoints save the packed layout; restoring a
+        # classic checkpoint into a packed engine (or vice versa) needs
+        # ``packed.pack_state_entry``/``unpack_state_entry`` migration.
+        self.packed_state = packed_state
         # cap on one storage group's byte size: jnp.take from a <~40 MB
         # target runs ~3.3x faster per id than from a >128 MB one (HBM
         # locality, measured scripts/probe6.py), so same-shape tables split
@@ -355,12 +366,15 @@ class EmbeddingFeatures:
         state = {}
         for skey, (rows, dim) in sorted(self.storage.items()):
             rng, sub = jax.random.split(rng)
-            state[skey] = {
-                "w": self.sparse_opt.table_init(sub, (rows, dim),
-                                                dtype=self.storage_dtype(dim)),
-                "opt": self.sparse_opt.init_state((rows, dim)),
-                "show": jnp.zeros((rows, 1), jnp.float32),
-            }
+            if packed_mod.state_packable(self, skey):
+                state[skey] = packed_mod.packed_state_init(self, sub, skey)
+            else:
+                state[skey] = {
+                    "w": self.sparse_opt.table_init(
+                        sub, (rows, dim), dtype=self.storage_dtype(dim)),
+                    "opt": self.sparse_opt.init_state((rows, dim)),
+                    "show": jnp.zeros((rows, 1), jnp.float32),
+                }
         return state
 
     def shardings(self, mesh: Mesh) -> Dict[str, Dict[str, Any]]:
@@ -368,8 +382,12 @@ class EmbeddingFeatures:
         row = NamedSharding(mesh, P(DATA_AXIS, None))
         out = {}
         for skey in self.storage:
-            opt = jax.tree.map(lambda _: row, self.sparse_opt.init_state((1, 1)))
-            out[skey] = {"w": row, "opt": opt, "show": row}
+            if packed_mod.state_packable(self, skey):
+                out[skey] = {"w": row, "opt": {"m_p": row, "v_p": row}}
+            else:
+                opt = jax.tree.map(lambda _: row,
+                                   self.sparse_opt.init_state((1, 1)))
+                out[skey] = {"w": row, "opt": opt, "show": row}
         return out
 
     # ---------------- lookup ----------------
@@ -616,6 +634,7 @@ class EmbeddingFeatures:
             if not any(tkey in flat for _, tkey, _ in members):
                 new_state[skey] = tstate
                 continue
+            tstate, was_packed = self._classic_entry(skey, tstate)
             g_parts, c_parts = [], []
             for _, tkey, rows_t in members:
                 if tkey in flat:
@@ -633,8 +652,9 @@ class EmbeddingFeatures:
             row_mask = (cnt > 0).astype(jnp.float32)
             w, opt = self.sparse_opt.update(tstate["w"].astype(jnp.float32),
                                             G, tstate["opt"], row_mask)
-            new_state[skey] = {"w": w.astype(tstate["w"].dtype), "opt": opt,
-                               "show": tstate["show"] + cnt}
+            new_state[skey] = self._store_entry(
+                skey, {"w": w.astype(tstate["w"].dtype), "opt": opt,
+                       "show": tstate["show"] + cnt}, was_packed)
         return new_state
 
     def apply_gradients_scatter_sharded(self, state: Dict[str, Dict[str, Any]],
@@ -665,6 +685,9 @@ class EmbeddingFeatures:
                 if not parts:
                     new[skey] = tstate
                     continue
+                # the local shard's rows are Ps-aligned, so the packed-state
+                # adapter works per shard too
+                tstate, was_packed = self._classic_entry(skey, tstate)
                 rows = jnp.concatenate([p[0].reshape(-1) for p in parts])
                 grads = jnp.concatenate([p[1] for p in parts])
                 mask = jnp.concatenate([p[2] for p in parts])
@@ -677,8 +700,9 @@ class EmbeddingFeatures:
                 w, opt = self.sparse_opt.update(
                     tstate["w"].astype(jnp.float32), G, tstate["opt"],
                     row_mask)
-                new[skey] = {"w": w.astype(tstate["w"].dtype), "opt": opt,
-                             "show": tstate["show"] + cnt}
+                new[skey] = self._store_entry(
+                    skey, {"w": w.astype(tstate["w"].dtype), "opt": opt,
+                           "show": tstate["show"] + cnt}, was_packed)
             return new
 
         fn = jax.shard_map(local_fn, mesh=mesh,
@@ -712,12 +736,14 @@ class EmbeddingFeatures:
             if g is None:
                 new_state[tkey] = tstate
                 continue
+            tstate, was_packed = self._classic_entry(tkey, tstate)
             row_mask = (counts[tkey] > 0).astype(jnp.float32)
             w, opt = self.sparse_opt.update(tstate["w"].astype(jnp.float32),
                                             g, tstate["opt"], row_mask)
             w = w.astype(tstate["w"].dtype)
-            new_state[tkey] = {"w": w, "opt": opt,
-                               "show": tstate["show"] + counts[tkey]}
+            new_state[tkey] = self._store_entry(
+                tkey, {"w": w, "opt": opt,
+                       "show": tstate["show"] + counts[tkey]}, was_packed)
         return new_state
 
     def evict(self, state, min_show: float, rng=None):
@@ -733,20 +759,21 @@ class EmbeddingFeatures:
             rng = jax.random.PRNGKey(0)
         out = {}
         for tkey, tstate in sorted(state.items()):
+            tstate, was_packed = self._classic_entry(tkey, tstate)
             rows, dim = tstate["w"].shape
             keep = tstate["show"] >= min_show                      # (rows, 1)
             rng, sub = jax.random.split(rng)
             fresh_w = self.sparse_opt.table_init(sub, (rows, dim),
                                                  dtype=tstate["w"].dtype)
             fresh_opt = self.sparse_opt.init_state((rows, dim))
-            out[tkey] = {
+            out[tkey] = self._store_entry(tkey, {
                 "w": jnp.where(keep, tstate["w"], fresh_w),
                 "opt": jax.tree.map(
                     lambda cur, init: jnp.where(keep, cur,
                                                 init.astype(cur.dtype)),
                     tstate["opt"], fresh_opt),
                 "show": jnp.where(keep, tstate["show"], 0.0),
-            }
+            }, was_packed)
         return out
 
     def maybe_evict(self, state, rng=None):
@@ -758,4 +785,45 @@ class EmbeddingFeatures:
         return self.evict(state, thresh, rng)
 
     def weights(self, state):
+        """(rows, D) weights per storage — the layout every classic consumer
+        (two-stage gather, export, dense/scatter debug paths) expects.
+        Packed-STATE storages unpack on the fly (an O(table) lane de-
+        interleave); the packed execution path reads the raw packed arrays
+        instead (``raw_weights``), so the unpack only materializes where a
+        classic consumer actually uses it (XLA DCEs it otherwise)."""
+        out = {}
+        for tkey, t in state.items():
+            if packed_mod.is_packed_state(t):
+                out[tkey] = packed_mod.unpack_w(t["w"], self.storage[tkey][1])
+            else:
+                out[tkey] = t["w"]
+        return out
+
+    def raw_weights(self, state):
+        """Raw per-storage table arrays in their STORED layout: (rows, D)
+        classic or (rows/Ps, 128) packed-state."""
         return {tkey: t["w"] for tkey, t in state.items()}
+
+    def classic_state(self, state):
+        """Whole table state in the CLASSIC layout ({"w", "opt": {...},
+        "show"} per storage) regardless of storage layout — the comparison /
+        checkpoint-migration view of a packed-state engine."""
+        return {skey: self._classic_entry(skey, t)[0]
+                for skey, t in state.items()}
+
+    def _classic_entry(self, skey, tstate):
+        """(classic-layout view of one storage's state, was_packed flag) —
+        the adapter that lets the classic update paths (dense / scatter /
+        evict) run unchanged against packed-state storages at an O(table)
+        conversion cost (those paths are debug/parity references; the
+        production packed path updates the packed layout in place)."""
+        if packed_mod.is_packed_state(tstate):
+            return packed_mod.unpack_state_entry(tstate,
+                                                 self.storage[skey][1]), True
+        return tstate, False
+
+    def _store_entry(self, skey, classic_tstate, was_packed):
+        if was_packed:
+            return packed_mod.pack_state_entry(classic_tstate,
+                                               self.storage[skey][1])
+        return classic_tstate

@@ -154,27 +154,43 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _select(wide, ids, mask, d):
-    """wide with only each row's gather lane group live: (E, 128)."""
-    g_grp = jnp.asarray(_lane_maps(d)[2], jnp.int32)
-    pg = gather_pack(d)
-    sel = ((g_grp[None, :] == (ids % pg).astype(jnp.int32)[:, None])
+def _fold_consts(d: int, pack: str):
+    """(rows-per-phys, lane->group map, (128, D) fold matrix) for folding
+    out of either physical packing.  ``pack="gather"`` reads the pure-
+    reshape (Pg rows of D lanes) packing; ``pack="scatter"`` reads the
+    [value(D) | spare] (Ps rows of D+1 lanes) packing — the layout the
+    packed-STATE tables live in, where the spare lane carries 'show'.  The
+    scatter fold matrix maps no output column to the spare lane, so spare
+    contents never leak into activations."""
+    fold, sfold, g_grp, s_grp, _ = _lane_maps(d)
+    if pack == "gather":
+        return gather_pack(d), g_grp, fold
+    return scatter_pack(d), s_grp, sfold
+
+
+def _select(wide, ids, mask, d, pack: str = "gather"):
+    """wide with only each row's lane group live: (E, 128)."""
+    p, grp, _ = _fold_consts(d, pack)
+    grp = jnp.asarray(grp, jnp.int32)
+    sel = ((grp[None, :] == (ids % p).astype(jnp.int32)[:, None])
            & (mask > 0)[:, None])
     return jnp.where(sel, wide.astype(jnp.float32), 0.0)
 
 
-def fold_mean_ref(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
+def fold_mean_ref(wide, ids, mask, c: int, l: int, d: int,
+                  pack: str = "gather") -> jnp.ndarray:
     """l-major (C*L*B, 128) wide rows (column-major; within a column, slot j
     of logical row b sits at j*B + b) -> (C*B, D) masked sums over L."""
     b = ids.shape[0] // (c * l)
-    m = _select(wide, ids, mask, d)
+    m = _select(wide, ids, mask, d, pack)
     s = m.reshape(c, l, b, _LANES).sum(1).reshape(c * b, _LANES)
-    return _dot_hi(s, fold_matrix(d))
+    return _dot_hi(s, jnp.asarray(_fold_consts(d, pack)[2]))
 
 
-def fold_rows_ref(wide, ids, mask, d: int) -> jnp.ndarray:
+def fold_rows_ref(wide, ids, mask, d: int, pack: str = "gather") -> jnp.ndarray:
     """(E, 128) wide rows -> (E, D) masked per-row values (seq columns)."""
-    return _dot_hi(_select(wide, ids, mask, d), fold_matrix(d))
+    return _dot_hi(_select(wide, ids, mask, d, pack),
+                   jnp.asarray(_fold_consts(d, pack)[2]))
 
 
 def _scatter_lane_masks(ids, mask, d):
@@ -253,23 +269,25 @@ def _lane_consts(d: int):
             jnp.asarray(s_sub, jnp.int32)[None, :])
 
 
-def fold_mean(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
+def fold_mean(wide, ids, mask, c: int, l: int, d: int,
+              pack: str = "gather") -> jnp.ndarray:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if l == 1:
         # single-id mean columns (the realistic VarLen common case) are
         # per-row folds; the 2-D kernel avoids degenerate-l blocks
-        return fold_rows(wide, ids, mask, d)
+        return fold_rows(wide, ids, mask, d, pack)
     b = ids.shape[0] // (c * l)
     # one grid step folds ALL l slots of a chunk of one column's logical
     # rows; the wide block is l*cx*512 B double-buffered, so l*cx caps at
     # ~5k rows within the 16 MB VMEM scoped limit
     cx = _chunk_l(b, l, 5120)
     if not on_tpu() or cx is None:
-        return fold_mean_ref(wide, ids, mask, c, l, d)
-    g_grp, _, _ = _lane_consts(d)
-    pg = gather_pack(d)
+        return fold_mean_ref(wide, ids, mask, c, l, d, pack)
+    p, grp, fmat = _fold_consts(d, pack)
+    grp = jnp.asarray(grp, jnp.int32)[None, :]
+    fmat = jnp.asarray(fmat)
 
     def kernel(w_ref, i_ref, m_ref, g_ref, f_ref, out_ref):
         # the (E, 128) wide stream reshapes FREE to (c, l, b, 128) (l-major
@@ -277,7 +295,7 @@ def fold_mean(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
         # relayout is the kernel-internal per-slot select/accumulate
         acc = jnp.zeros((cx, _LANES), jnp.float32)
         for j in range(l):
-            lg = jax.lax.rem(i_ref[0, j, :], jnp.int32(pg))[:, None]
+            lg = jax.lax.rem(i_ref[0, j, :], jnp.int32(p))[:, None]
             acc += (jnp.where(g_ref[:] == lg,
                               w_ref[0, j].astype(jnp.float32), 0.0)
                     * m_ref[0, j, :][:, None])
@@ -301,23 +319,24 @@ def fold_mean(wide, ids, mask, c: int, l: int, d: int) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, b, d), jnp.float32),
     )(wide.reshape(c, l, b, _LANES), ids.reshape(c, l, b).astype(jnp.int32),
-      mask.reshape(c, l, b), g_grp, fold_matrix(d))
+      mask.reshape(c, l, b), grp, fmat)
     return out.reshape(c * b, d)
 
 
-def fold_rows(wide, ids, mask, d: int) -> jnp.ndarray:
+def fold_rows(wide, ids, mask, d: int, pack: str = "gather") -> jnp.ndarray:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     e = ids.shape[0]
     c = _chunk(e)
     if not on_tpu() or c is None:
-        return fold_rows_ref(wide, ids, mask, d)
-    g_grp, _, _ = _lane_consts(d)
-    pg = gather_pack(d)
+        return fold_rows_ref(wide, ids, mask, d, pack)
+    p, grp, fmat = _fold_consts(d, pack)
+    grp = jnp.asarray(grp, jnp.int32)[None, :]
+    fmat = jnp.asarray(fmat)
 
     def kernel(w_ref, i_ref, m_ref, g_ref, f_ref, out_ref):
-        lg = jax.lax.rem(i_ref[:], jnp.int32(pg))            # (c, 1)
+        lg = jax.lax.rem(i_ref[:], jnp.int32(p))             # (c, 1)
         m = (jnp.where(g_ref[:] == lg, w_ref[:].astype(jnp.float32), 0.0)
              * m_ref[:])                                     # (c, 128)
         out_ref[:] = jnp.dot(m, f_ref[:],
@@ -339,8 +358,7 @@ def fold_rows(wide, ids, mask, d: int) -> jnp.ndarray:
         out_specs=pl.BlockSpec((c, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((e, d), jnp.float32),
-    )(wide, ids[:, None].astype(jnp.int32), mask[:, None], g_grp,
-      fold_matrix(d))
+    )(wide, ids[:, None].astype(jnp.int32), mask[:, None], grp, fmat)
 
 
 def unfold_mean(gx, ids, mask, c: int, l: int) -> jnp.ndarray:
@@ -539,20 +557,35 @@ def _offset_rows(eng, key: str, batch):
     return rows + offset if offset else rows
 
 
-def gather_fold(eng, weights, batch, plans) -> Dict[str, Any]:
+def _gather_layout(eng, skey, tables):
+    """(physical array, rows-per-phys, fold pack name) of one storage's
+    gather source: packed-STATE tables are already physical (scatter
+    packing, spare = show); classic tables reshape to the gather packing.
+    ``tables`` may be the engine state dict OR a bare {skey: (rows, D)}
+    weights dict (legacy callers/probes)."""
+    tstate = tables[skey]
+    d = eng.storage[skey][1]
+    if isinstance(tstate, dict):
+        if is_packed_state(tstate):
+            return tstate["w"], scatter_pack(d), "scatter"
+        tstate = tstate["w"]
+    return pack_table(tstate), gather_pack(d), "gather"
+
+
+def gather_fold(eng, tables, batch, plans) -> Dict[str, Any]:
     """Stage 1 (NOT differentiated): packed gather + fold.  Returns, per
     storage, the folded activations {segment start -> array} plus the
-    (ids, mask) needed by the scatter stage."""
+    (ids, mask) needed by the scatter stage.  ``tables``: the engine state
+    dict (layouts per ``_gather_layout``)."""
     out = {}
     for skey, segs in plans.items():
         d = eng.storage[skey][1]
-        pg = gather_pack(d)
         ids, mask = storage_stream(eng, skey, segs, batch)
-        wp = pack_table(weights[skey])
+        wp, p, pack = _gather_layout(eng, skey, tables)
         # ids are hash-bounded by construction; promising in-bounds drops
         # the out-of-bounds select pass XLA otherwise fuses after the
         # gather (~2 ms/storage on chip, op-level trace)
-        wide = wp.at[ids // pg].get(mode="promise_in_bounds")
+        wide = wp.at[ids // p].get(mode="promise_in_bounds")
         acts = []
         for seg in segs:
             w_seg = wide[seg.start:seg.start + seg.size]
@@ -560,9 +593,9 @@ def gather_fold(eng, weights, batch, plans) -> Dict[str, Any]:
             m_seg = mask[seg.start:seg.start + seg.size]
             if seg.kind == "mean":
                 acts.append(fold_mean(w_seg, i_seg, m_seg, len(seg.keys),
-                                      seg.l, d))
+                                      seg.l, d, pack))
             else:
-                acts.append(fold_rows(w_seg, i_seg, m_seg, d))
+                acts.append(fold_rows(w_seg, i_seg, m_seg, d, pack))
         out[skey] = {"acts": acts, "ids": ids, "mask": mask}
     return out
 
@@ -641,6 +674,21 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
                 scatter_col(eng.columns[k].categorical_column.key,
                             seg.start, seg.size, pay)
 
+        tstate = state[skey]
+        if is_packed_state(tstate):
+            # the accumulator IS the state layout: concat member accs into
+            # one (rows/Ps, 128) [grad | count] array and run the one-pass
+            # packed Adam — no unpack, no pack_table, no narrow arrays
+            acc_parts = []
+            for off, tkey, rows_t in eng._storage_members(skey):
+                np_t = -(-rows_t // ps)
+                acc_parts.append(accs.get(
+                    tkey, jnp.zeros((np_t, _LANES), jnp.float32)))
+            acc = acc_parts[0] if len(acc_parts) == 1 \
+                else jnp.concatenate(acc_parts)
+            new_state[skey] = packed_adam_update(eng.sparse_opt, tstate,
+                                                 acc, d)
+            continue
         g_parts, c_parts = [], []
         for off, tkey, rows_t in eng._storage_members(skey):
             lanes = ps * (d + 1)
@@ -654,7 +702,6 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
                 c_parts.append(jnp.zeros((rows_t, 1), jnp.float32))
         G = g_parts[0] if len(g_parts) == 1 else jnp.concatenate(g_parts)
         cnt = c_parts[0] if len(c_parts) == 1 else jnp.concatenate(c_parts)
-        tstate = state[skey]
         row_mask = (cnt > 0).astype(jnp.float32)
         w, opt = eng.sparse_opt.update(tstate["w"].astype(jnp.float32), G,
                                        tstate["opt"], row_mask)
@@ -678,7 +725,8 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
 # (data-sharded leaves concatenate correctly across shards; the local path's
 # per-segment acts would interleave shard-locally).
 
-def fold_storage_cols(eng, skey, segs, batch, wide, ids, mask) -> Dict[str, Any]:
+def fold_storage_cols(eng, skey, segs, batch, wide, ids, mask,
+                      pack: str = "gather") -> Dict[str, Any]:
     """Per-column folded activations of one storage: mean columns -> (B, D)
     masked SUMS (combiner division happens in the differentiated combine
     stage); seq columns -> (B*T, D) per-row values."""
@@ -691,12 +739,12 @@ def fold_storage_cols(eng, skey, segs, batch, wide, ids, mask) -> Dict[str, Any]
         if seg.kind == "mean":
             c = len(seg.keys)
             b = seg.size // (c * seg.l)
-            act = fold_mean(w_seg, i_seg, m_seg, c, seg.l, d)
+            act = fold_mean(w_seg, i_seg, m_seg, c, seg.l, d, pack)
             for ci, k in enumerate(seg.keys):
                 out[k] = act[ci * b:(ci + 1) * b]
         else:
             (k,) = seg.keys
-            out[k] = fold_rows(w_seg, i_seg, m_seg, d)
+            out[k] = fold_rows(w_seg, i_seg, m_seg, d, pack)
     return out
 
 
@@ -720,11 +768,14 @@ def combine_from_col_acts(eng, col_acts, batch):
     return outputs
 
 
-def gather_fold_sharded(eng, weights, batch, mesh, storages, axis_name=None):
+def gather_fold_sharded(eng, tables, batch, mesh, storages, axis_name=None):
     """Stage 1 of the sharded packed path (NOT differentiated): inside
     shard_map, build local streams, exchange packed physical rows through
-    the all-to-all (phys id = id // Pg against the local (rows/Pg, 128)
-    shard), fold locally.  Returns {column: acts} with data-sharded leaves."""
+    the all-to-all (phys id = id // P against the local physical shard),
+    fold locally.  Returns {column: acts} with data-sharded leaves.
+    ``tables``: the engine state dict — packed-STATE storages exchange
+    their stored (rows/Ps, 128) rows directly, classic storages reshape to
+    the gather packing first."""
     from jax.sharding import PartitionSpec as P
     from ..core.mesh import DATA_AXIS
     from .engine import all_to_all_lookup
@@ -733,28 +784,33 @@ def gather_fold_sharded(eng, weights, batch, mesh, storages, axis_name=None):
     plans_global = plan_segments(eng, batch, storages=storages)
     out_keys = [k for segs in plans_global.values()
                 for seg in segs for k in seg.keys]
+    raw_w = {skey: tables[skey]["w"] for skey in plans_global}
+    layouts = {skey: is_packed_state(tables[skey]) for skey in plans_global}
 
     def local_fn(w, b):
         plans = plan_segments(eng, b, storages=storages)
         out = {}
         for skey, segs in plans.items():
             d = eng.storage[skey][1]
-            pg = gather_pack(d)
+            if layouts[skey]:
+                wp, p, pack = w[skey], scatter_pack(d), "scatter"
+            else:
+                wp, p, pack = pack_table(w[skey]), gather_pack(d), "gather"
             ids, mask = storage_stream(eng, skey, segs, b)
-            wp = pack_table(w[skey])
             # mask rides along: padded stream entries (id 0 -> phys row 0)
             # must not consume shard 0's bounded a2a capacity
-            wide = all_to_all_lookup(wp, ids // pg, axis_name,
+            wide = all_to_all_lookup(wp, ids // p, axis_name,
                                      eng.a2a_capacity_factor, mask=mask)
-            out.update(fold_storage_cols(eng, skey, segs, b, wide, ids, mask))
+            out.update(fold_storage_cols(eng, skey, segs, b, wide, ids, mask,
+                                         pack))
         return out
 
-    w_specs = jax.tree.map(lambda _: P(axis_name, None), weights)
+    w_specs = jax.tree.map(lambda _: P(axis_name, None), raw_w)
     b_specs = jax.tree.map(lambda _: P(axis_name), batch)
     out_specs = {k: P(axis_name) for k in out_keys}
     fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(w_specs, b_specs),
                        out_specs=out_specs, check_vma=False)
-    return fn(weights, batch)
+    return fn(raw_w, batch)
 
 
 def apply_gradients_packed_sharded(eng, state, g_cols, batch, mesh, storages,
@@ -795,7 +851,18 @@ def apply_gradients_packed_sharded(eng, state, g_cols, batch, mesh, storages,
                         gc[k].reshape(seg.size, d), i_seg, m_seg))
             pay = pay_parts[0] if len(pay_parts) == 1 \
                 else jnp.concatenate(pay_parts)
-            rows_local = tables[skey]["w"].shape[0]
+            tstate = tables[skey]
+            if is_packed_state(tstate):
+                np_local = tstate["w"].shape[0]
+                r_rows, r_pay, r_mask = route_grads_to_owners(
+                    ids // ps, pay, mask, np_local, axis_name,
+                    eng.a2a_capacity_factor)
+                acc = jnp.zeros((np_local, _LANES), jnp.float32)
+                acc = acc.at[r_rows].add(r_pay, mode="drop")
+                # the accumulator IS the state layout: one-pass packed Adam
+                new[skey] = packed_adam_update(eng.sparse_opt, tstate, acc, d)
+                continue
+            rows_local = tstate["w"].shape[0]
             np_local = rows_local // ps
             r_rows, r_pay, r_mask = route_grads_to_owners(
                 ids // ps, pay, mask, np_local, axis_name,
@@ -805,7 +872,6 @@ def apply_gradients_packed_sharded(eng, state, g_cols, batch, mesh, storages,
             lanes = ps * (d + 1)
             flat = acc[:, :lanes].reshape(rows_local, d + 1)
             G, cnt = flat[:, :d], flat[:, d:]
-            tstate = tables[skey]
             row_mask = (cnt > 0).astype(jnp.float32)
             w, opt = eng.sparse_opt.update(tstate["w"].astype(jnp.float32), G,
                                            tstate["opt"], row_mask)
@@ -822,15 +888,17 @@ def apply_gradients_packed_sharded(eng, state, g_cols, batch, mesh, storages,
     return fn(state, g_cols, batch)
 
 
-def lookup_packed(eng, weights, batch) -> Dict[str, Any]:
+def lookup_packed(eng, tables, batch) -> Dict[str, Any]:
     """Forward-only packed lookup (eval / predict / serving): packed gather
     + fold for packable storages, classic fused gather for the rest.  Same
     outputs as ``EmbeddingFeatures.lookup(mode='local')`` (tested); NOT
-    differentiable w.r.t. ``weights`` (the train step differentiates at the
-    folded-activation level instead — see ``train/step.py::step_packed``)."""
+    differentiable w.r.t. the tables (the train step differentiates at the
+    folded-activation level instead — see ``train/step.py::step_packed``).
+    ``tables``: the engine state dict (packed-STATE storages gather their
+    stored physical rows directly — serving never pays an unpack)."""
     pk, _ = storages_packed(eng)
     plans = plan_segments(eng, batch, storages=set(pk))
-    ctx = gather_fold(eng, weights, batch, plans)
+    ctx = gather_fold(eng, tables, batch, plans)
     out = combine_from_acts(eng, plans, ctx, batch)
     classic_batch = {
         k: v for k, v in batch.items()
@@ -838,6 +906,8 @@ def lookup_packed(eng, weights, batch) -> Dict[str, Any]:
         and eng.table_map[eng.columns[k].categorical_column.key][0]
         not in plans}
     if classic_batch:
+        some = next(iter(tables.values()), None)
+        weights = eng.weights(tables) if isinstance(some, dict) else tables
         out.update(eng.lookup(weights, classic_batch, mode="local"))
     return out
 
@@ -857,3 +927,158 @@ def storages_packed(eng) -> Tuple[List[str], List[str]]:
                       for off, _, _ in eng._storage_members(skey)))
         (packed if ok else classic).append(skey)
     return packed, classic
+
+
+# ---------------------------------------------------------------------------
+# packed optimizer state — tables + Adam moments co-located in the scatter
+# packing ((rows/Ps, 128) [value(D) | spare] lane groups)
+# ---------------------------------------------------------------------------
+#
+# The classic state ({"w": (rows, D), "opt": {m, v, (rows, 1) t}, (rows, 1)
+# show}) costs the step three extra passes the math never needed: the
+# backward accumulator arrives ALREADY in the scatter packing ((rows/Ps,
+# 128) [grad | count]), but the lazy optimizer ran in the (rows, D) layout,
+# so every step paid acc->G unpack + pack_table (wide gather source) +
+# dense passes over the NARROW (rows, 1) t/show arrays (an (N, 1) f32
+# array occupies 128x its logical bytes under (8, 128) tiling).  Round-4
+# profiling put those passes at ~25-28 ms of the 159 ms headline
+# (PROFILE_r04.md "Remaining headroom" #1; parity pre-validated in
+# scripts/probe12.py).
+#
+# The packed STATE layout stores, per qualifying storage:
+#     w_p: (rows/Ps, 128)  [w_0..w_{D-1} | show] lane groups
+#     m_p: (rows/Ps, 128)  [m_0..m_{D-1} | t]
+#     v_p: (rows/Ps, 128)  [v_0..v_{D-1} | 0]
+# so the forward gathers physical rows of w_p DIRECTLY (fold pack=
+# "scatter" skips the spare lane), the backward scatter-adds into the same
+# granularity, and ONE elementwise pass updates w/m/v/t/show in place —
+# per-row scalars ride the spare lanes, broadcast to their group's lanes
+# by one exact (128, 128) 0/1 matmul.
+#
+# Qualifying storages (``state_packable``): SparseAdam with f32 moments,
+# f32 tables, packable dim, Ps-aligned rows and member offsets (the engine
+# aligns both when built with packing enabled).  Everything else keeps the
+# classic layout; the two coexist per storage within one step.
+
+def state_packable(eng, skey) -> bool:
+    from .optimizers import SparseAdam
+    rows, d = eng.storage[skey]
+    ps = scatter_pack(d)
+    return (getattr(eng, "packed_state", True)
+            and isinstance(eng.sparse_opt, SparseAdam)
+            and eng.sparse_opt.state_dtype == jnp.float32
+            and eng.storage_dtype(d) == jnp.float32
+            and packable(d)
+            and rows % ps == 0
+            and all(off % ps == 0
+                    for off, _, _ in eng._storage_members(skey)))
+
+
+def is_packed_state(tstate) -> bool:
+    """Schema sniff: packed-state entries have no 'show' key (it rides the
+    w spare lane) and name their moments m_p/v_p."""
+    return "show" not in tstate
+
+
+@functools.lru_cache(maxsize=None)
+def _state_lane_consts(d: int):
+    """(IS_W, IS_T, BC) as numpy: value-lane / spare-lane 0/1 selectors and
+    the (128, 128) spare-lane -> group-lanes broadcast matrix."""
+    import numpy as np
+    ps = scatter_pack(d)
+    ki = np.arange(_LANES)
+    grp, sub = ki // (d + 1), ki % (d + 1)
+    live = ki < ps * (d + 1)
+    is_w = ((sub < d) & live).astype(np.float32)
+    is_t = ((sub == d) & live).astype(np.float32)
+    bc = ((grp[:, None] == grp[None, :]) & (sub[:, None] == d)
+          & live[:, None] & live[None, :]).astype(np.float32)
+    return is_w, is_t, bc
+
+
+def _pack_cols(a, scalar, d: int):
+    """(rows, D) [+ (rows, 1) scalar] -> (rows/Ps, 128) lane groups."""
+    rows = a.shape[0]
+    ps = scatter_pack(d)
+    if scalar is None:
+        scalar = jnp.zeros((rows, 1), a.dtype)
+    grouped = jnp.concatenate([a, scalar], axis=1).reshape(
+        rows // ps, ps * (d + 1))
+    if ps * (d + 1) < _LANES:
+        grouped = jnp.pad(grouped, ((0, 0), (0, _LANES - ps * (d + 1))))
+    return grouped
+
+
+def _unpack_cols(p, d: int):
+    """(rows/Ps, 128) -> ((rows, D), (rows, 1) spare)."""
+    ps = scatter_pack(d)
+    flat = p[:, :ps * (d + 1)].reshape(p.shape[0] * ps, d + 1)
+    return flat[:, :d], flat[:, d:]
+
+
+def pack_state_entry(tstate, d: int):
+    """Classic {"w", "opt": {m, v, t}, "show"} -> packed {"w", "opt":
+    {"m_p", "v_p"}} (f32)."""
+    return {
+        "w": _pack_cols(tstate["w"].astype(jnp.float32), tstate["show"], d),
+        "opt": {
+            "m_p": _pack_cols(tstate["opt"]["m"].astype(jnp.float32),
+                              tstate["opt"]["t"], d),
+            "v_p": _pack_cols(tstate["opt"]["v"].astype(jnp.float32), None, d),
+        },
+    }
+
+
+def unpack_state_entry(tstate, d: int):
+    """Inverse of ``pack_state_entry``."""
+    w, show = _unpack_cols(tstate["w"], d)
+    m, t = _unpack_cols(tstate["opt"]["m_p"], d)
+    v, _ = _unpack_cols(tstate["opt"]["v_p"], d)
+    return {"w": w, "opt": {"m": m, "v": v, "t": t}, "show": show}
+
+
+def unpack_w(wp, d: int):
+    """(rows/Ps, 128) packed-state table -> (rows, D) weights view (a real
+    copy: the spare lanes interleave)."""
+    return _unpack_cols(wp, d)[0]
+
+
+def packed_state_init(eng, rng, skey):
+    """Same weight draw as the classic init for the same rng (cross-layout
+    reproducibility: an engine with packed_state on/off starts identical)."""
+    rows, d = eng.storage[skey]
+    w = eng.sparse_opt.table_init(rng, (rows, d), dtype=jnp.float32)
+    zeros = jnp.zeros((rows, d), jnp.float32)
+    return {
+        "w": _pack_cols(w, None, d),
+        "opt": {"m_p": _pack_cols(zeros, None, d),
+                "v_p": _pack_cols(zeros, None, d)},
+    }
+
+
+def packed_adam_update(opt, tstate, acc, d: int):
+    """The probe12-validated one-pass lazy Adam in the packed layout.
+
+    ``acc``: (rows/Ps, 128) [grad | count] accumulator from the backward
+    scatter.  Updates w/m/v on value lanes and t (m spare) / show (w spare)
+    on spare lanes; untouched rows (count 0) pass through unchanged —
+    identical per-row semantics to ``SparseAdam.update`` (parity-locked in
+    tests).  All arithmetic f32; the spare-lane broadcast is one exact
+    (128, 128) 0/1 matmul at HIGHEST precision."""
+    is_w, is_t, bc = _state_lane_consts(d)
+    IS_W, IS_T, BC = (jnp.asarray(x) for x in (is_w, is_t, bc))
+    wp, mp, vp = tstate["w"], tstate["opt"]["m_p"], tstate["opt"]["v_p"]
+    b1, b2 = opt.beta1, opt.beta2
+    cnt_l = acc * IS_T                              # counts at spare lanes
+    live = _dot_hi(cnt_l, BC) > 0                   # count > 0, per group
+    t_new = mp * IS_T + (cnt_l > 0).astype(jnp.float32)
+    t128 = jnp.maximum(_dot_hi(t_new, BC), 1.0)     # per-lane t, >= 1
+    g = acc * IS_W
+    m_new = jnp.where(live, b1 * mp + (1 - b1) * g, mp) * IS_W
+    v_new = jnp.where(live, b2 * vp + (1 - b2) * jnp.square(g), vp) * IS_W
+    m_hat = m_new / (1 - b1 ** t128)
+    v_hat = v_new / (1 - b2 ** t128)
+    step = opt.learning_rate * m_hat / (jnp.sqrt(v_hat) + opt.epsilon)
+    w_new = (jnp.where(live, wp - step, wp) * IS_W   # update value lanes
+             + wp * IS_T + cnt_l)                    # show += count
+    return {"w": w_new, "opt": {"m_p": m_new + t_new, "v_p": v_new}}

@@ -34,6 +34,19 @@ def use_pallas() -> bool:
     return False
 
 
+def use_flash() -> bool:
+    """Flash-style field attention (``field_attention_pallas``) is ON by
+    default on TPU: unlike the opt-in fused kernels above it reduces HBM
+    traffic asymptotically (F²·B score tensors never materialize — 2 GB
+    each at production F=175, ~100 ms/step in the round-5 trace), not just
+    fusion overhead.  ``set_backend("xla")`` or RECSYS_TPU_FLASH=0 disables."""
+    if (_FORCED or os.environ.get("RECSYS_TPU_KERNELS")) == "xla":
+        return False
+    if os.environ.get("RECSYS_TPU_FLASH", "1") == "0":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def interpret_mode() -> bool:
     """Pallas interpret mode for non-TPU backends (tests on CPU)."""
     return jax.default_backend() not in ("tpu", "axon")

@@ -58,7 +58,8 @@ class InteractingLayer(nn.Module):
             p["br"] = jnp.zeros((u,), jnp.float32)
         return p
 
-    def _xla_iteration_t(self, x_t, p, training, dropout=None):
+    def _xla_iteration_t(self, x_t, p, training, dropout=None,
+                         flash_seed=None):
         """One attention iteration in the fully-TRANSPOSED (d, field, B)
         layout — batch is the minor (lane) dim end-to-end.
 
@@ -73,6 +74,13 @@ class InteractingLayer(nn.Module):
         measured 53.6 -> 26.5 ms vs the per-iteration-transposed form and
         71.7 ms for the original einsum form (scripts/probe18-19.py; parity
         3.6e-7).  Math unchanged from reference ``InteractingLayer.py:41-60``.
+
+        ``flash_seed`` not None selects the flash-style Pallas attention
+        core (``kernels/field_attention_pallas.py``): the (head, F, F, B)
+        score tensors stay in VMEM — at production field counts (F = 175)
+        they are 2 GB EACH in HBM and dominated the step (round-5 trace) —
+        and attention-weight dropout runs on the in-kernel hardware PRNG
+        instead of a threefry program.
         """
         d, f, b = x_t.shape
         u = self.unit_num
@@ -84,12 +92,18 @@ class InteractingLayer(nn.Module):
             return z.reshape(self.head_num, dh, f, b)
 
         qt, kt, vt = proj("wq", "bq"), proj("wk", "bk"), proj("wv", "bv")
-        w = (qt[:, :, :, None, :] * kt[:, :, None, :, :]).sum(1) / (dh ** 0.5)
-        w = jax.nn.softmax(w, axis=2)           # (head, f, g, B), keys on g
-        if dropout is not None:
-            w = dropout(w)
-        o = (w[:, None, :, :, :] * vt[:, :, None, :, :]).sum(3)
-        o = o.reshape(u, f, b)
+        if flash_seed is not None:
+            from ..kernels.field_attention_pallas import field_attention
+            rate = self.dropout_rate if (self.use_dropout and training) else 0.0
+            o = field_attention(qt, kt, vt, flash_seed, rate)
+            o = o.reshape(u, f, b)
+        else:
+            w = (qt[:, :, :, None, :] * kt[:, :, None, :, :]).sum(1) / (dh ** 0.5)
+            w = jax.nn.softmax(w, axis=2)       # (head, f, g, B), keys on g
+            if dropout is not None:
+                w = dropout(w)
+            o = (w[:, None, :, :, :] * vt[:, :, None, :, :]).sum(3)
+            o = o.reshape(u, f, b)
         if self.use_res:
             rt = jax.nn.relu(p["wr"].T @ flat + p["br"][:, None])
             o = o + rt.reshape(u, f, b)
@@ -113,22 +127,42 @@ class InteractingLayer(nn.Module):
         if self.unit_num % self.head_num != 0:
             raise ValueError("unit_num must divide head_num")
 
-        from ..kernels.flags import use_pallas
+        from ..kernels.flags import use_flash, use_pallas
+        from ..kernels.field_attention_pallas import eligible
         from ..kernels.interacting_pallas import interacting_attention
 
         p = self._params(inputs.shape[-1])
         dropout = nn.Dropout(self.dropout_rate, deterministic=not training,
                              name="weight_dropout") if self.use_dropout else None
+        b, f, _ = inputs.shape
+        dh = self.unit_num // self.head_num
+        flash = use_flash() and eligible(self.head_num, dh, f, b)
         # attention-weight dropout only exists on the XLA path; inference
         # (deterministic) can always take the fused kernel
         fused_ok = use_pallas() and not (self.use_dropout and training) \
-            and self.use_res
+            and self.use_res and not flash
         if not fused_ok:
+            seeds = [None] * self.layer_num
+            if flash:
+                if self.use_dropout and training:
+                    # one int32 seed per iteration; the kernel derives the
+                    # per-(head, tile) streams and the backward regenerates
+                    # the identical masks from the same seed
+                    key = self.make_rng("dropout")
+                    data = jax.random.key_data(key) \
+                        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key) \
+                        else key
+                    flat = data.reshape(-1)
+                    base = (flat[0] ^ flat[-1]).astype(jnp.int32)
+                    seeds = [base + jnp.int32(i) for i in range(self.layer_num)]
+                else:
+                    seeds = [jnp.int32(0)] * self.layer_num
             # all-XLA loop chains in the transposed (d, F, B) layout: ONE
             # entry + ONE exit transpose for the whole stack
             x_t = inputs.transpose(2, 1, 0)
             for i in range(self.layer_num):
-                x_t = self._xla_iteration_t(x_t, p, training, dropout)
+                x_t = self._xla_iteration_t(x_t, p, training, dropout,
+                                            flash_seed=seeds[i])
             return x_t.transpose(2, 1, 0)
         output = inputs
         for i in range(self.layer_num):

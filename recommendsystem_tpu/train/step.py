@@ -198,28 +198,31 @@ def make_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
                     dense_inputs, rng):
         rngs = {"dropout": rng}
         eng = bundle.embedding
-        weights = eng.weights(state.tables)
         pk_storages, _ = packed_mod.storages_packed(eng)
         plans = packed_mod.plan_segments(eng, batch, storages=set(pk_storages))
         sharded = mode == "sharded"
-        # stage 1 (not differentiated): packed gather + lane-fold.  Sharded
-        # mode exchanges packed 512-B physical rows over the all-to-all and
-        # returns per-column activations (data-sharded leaves).
+        # stage 1 (not differentiated): packed gather + lane-fold over the
+        # RAW state tables (packed-STATE storages gather their stored
+        # physical rows directly).  Sharded mode exchanges packed 512-B
+        # physical rows over the all-to-all and returns per-column
+        # activations (data-sharded leaves).
         if sharded:
-            acts = packed_mod.gather_fold_sharded(eng, weights, batch, mesh,
-                                                  set(pk_storages))
+            acts = packed_mod.gather_fold_sharded(eng, state.tables, batch,
+                                                  mesh, set(pk_storages))
             ctx = None
         else:
-            ctx = packed_mod.gather_fold(eng, weights, batch, plans)
+            ctx = packed_mod.gather_fold(eng, state.tables, batch, plans)
             acts = {skey: c["acts"] for skey, c in ctx.items()}
         # columns whose storage can't pack go through the classic fused
-        # gather within the same step
+        # gather within the same step (weights() unpacks nothing here:
+        # classic storages store (rows, D) already)
         classic_batch = {
             k: v for k, v in batch.items()
             if k in eng.columns
             and eng.table_map[eng.columns[k].categorical_column.key][0]
             not in plans}
         if classic_batch:
+            weights = eng.weights(state.tables)
             raw = (eng.gather_raw_sharded(weights, classic_batch, mesh)
                    if sharded else eng.gather_raw(weights, classic_batch))
         else:
@@ -304,12 +307,13 @@ def make_scan_train_step(bundle: ModelBundle, mesh: Optional[Mesh] = None,
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
-def _lookup_for_mode(bundle, weights, batch, mode, mesh):
-    if mode == "sharded":
-        return bundle.embedding.lookup_sharded(weights, batch, mesh)
+def _lookup_for_mode(bundle, tables, batch, mode, mesh):
     if mode == "local" and getattr(bundle.embedding, "packed", False):
         from ..embedding import packed as packed_mod
-        return packed_mod.lookup_packed(bundle.embedding, weights, batch)
+        return packed_mod.lookup_packed(bundle.embedding, tables, batch)
+    weights = bundle.embedding.weights(tables)
+    if mode == "sharded":
+        return bundle.embedding.lookup_sharded(weights, batch, mesh)
     return bundle.embedding.lookup(weights, batch, mode=mode)
 
 
@@ -320,8 +324,7 @@ def make_eval_step(bundle: ModelBundle, mode: str = "local",
 
     def step(state: TrainState, batch, labels, sample_weight, dense_inputs,
              metric_states):
-        weights = bundle.embedding.weights(state.tables)
-        embs = _lookup_for_mode(bundle, weights, batch, mode, mesh)
+        embs = _lookup_for_mode(bundle, state.tables, batch, mode, mesh)
         outputs = apply_model(bundle, state.params, embs, dense_inputs,
                               training=False)
         y = {t: jnp.asarray(labels[t]) for t in bundle.metrics}
@@ -336,8 +339,7 @@ def make_eval_step(bundle: ModelBundle, mode: str = "local",
 def make_predict_step(bundle: ModelBundle, mode: str = "local",
                       mesh: Optional[Mesh] = None) -> Callable:
     def step(state: TrainState, batch, dense_inputs):
-        weights = bundle.embedding.weights(state.tables)
-        embs = _lookup_for_mode(bundle, weights, batch, mode, mesh)
+        embs = _lookup_for_mode(bundle, state.tables, batch, mode, mesh)
         outputs = apply_model(bundle, state.params, embs, dense_inputs,
                               training=False)
         return bundle.predict_view(outputs)

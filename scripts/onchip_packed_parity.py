@@ -37,6 +37,15 @@ for (c, l, d, b) in [(4, 5, 8, 1024), (4, 5, 8, 16384), (1, 1, 8, 8192),
         ("fold_mean", jax.jit(lambda w, i, m: pk.fold_mean(w, i, m, c, l, d)),
          jax.jit(lambda w, i, m: pk.fold_mean_ref(w, i, m, c, l, d)),
          (wide, ids, mask)),
+        # scatter-packing folds (the packed-STATE gather path, round 5)
+        ("fold_mean_sc",
+         jax.jit(lambda w, i, m: pk.fold_mean(w, i, m, c, l, d, "scatter")),
+         jax.jit(lambda w, i, m: pk.fold_mean_ref(w, i, m, c, l, d, "scatter")),
+         (wide, ids, mask)),
+        ("fold_rows_sc",
+         jax.jit(lambda w, i, m: pk.fold_rows(w, i, m, d, "scatter")),
+         jax.jit(lambda w, i, m: pk.fold_rows_ref(w, i, m, d, "scatter")),
+         (wide, ids, mask)),
         ("unfold_mean", jax.jit(lambda g, i, m: pk.unfold_mean(g, i, m, c, l)),
          jax.jit(lambda g, i, m: pk.unfold_mean_ref(g, i, m, c, l)),
          (gx, ids, mask)),
@@ -61,11 +70,35 @@ for (c, l, d, b) in [(4, 5, 8, 1024), (4, 5, 8, 16384), (1, 1, 8, 8192),
         print(f"{status} c={c} l={l} d={d} b={b:6d} {name:12s} "
           f"max_abs={err:.3e} rel={rel:.3e}", flush=True)
 
+# flash field attention (round 5): fwd + custom-bwd vs the jnp reference,
+# at the ctr-production and headline field counts
+from recommendsystem_tpu.kernels.field_attention_pallas import (
+    field_attention, field_attention_reference)
+for (h, dh, f, b) in [(2, 4, 175, 256), (2, 4, 24, 512), (1, 8, 93, 128)]:
+    q, k, v, g = (jnp.asarray(rng.standard_normal((h, dh, f, b)), jnp.float32)
+                  for _ in range(4))
+    got = np.asarray(jax.jit(lambda *a: field_attention(*a, 0, 0.0))(q, k, v))
+    ref = np.asarray(field_attention_reference(q, k, v))
+    rel = float(np.max(np.abs(got - ref))) / (float(np.max(np.abs(ref))) + 1e-9)
+    worst = max(worst, rel)
+    print(f"{'OK ' if rel < 1e-5 else 'FAIL'} flash fwd h={h} dh={dh} f={f} "
+          f"b={b} rel={rel:.3e}", flush=True)
+    gk = jax.jit(jax.grad(lambda *a: jnp.sum(field_attention(*a, 0, 0.0) * g),
+                          argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.grad(lambda *a: jnp.sum(field_attention_reference(*a) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for n2, a, b2 in zip("qkv", gk, gr):
+        rel = float(np.max(np.abs(np.asarray(a) - np.asarray(b2)))) /             (float(np.max(np.abs(np.asarray(b2)))) + 1e-9)
+        worst = max(worst, rel)
+        print(f"{'OK ' if rel < 1e-5 else 'FAIL'} flash d{n2} f={f} "
+              f"rel={rel:.3e}", flush=True)
+
 print(f"worst rel err = {worst:.3e}")
 with open(os.path.join(REPO, "ONCHIP_PARITY.json"), "w") as fh:
     json.dump({"worst_rel_err": worst, "ok": bool(worst < 1e-5),
                "device": str(jax.devices()[0]),
                "kernels": ["fold_mean", "unfold_mean", "fold_rows",
-                           "unfold_rows"]}, fh, indent=1)
+                           "unfold_rows", "fold_mean_sc", "fold_rows_sc",
+                           "field_attention"]}, fh, indent=1)
 assert worst < 1e-5, worst
 print("ALL PARITY OK")

@@ -24,8 +24,11 @@ def make_engine(bucket=64, dim=8, seq=False, opt=None, num_shards=1):
     if seq:
         cols.append(embedding_column(cat, dim, combiner=None, seq_max_len=6,
                                      name="seq_f1"))
+    # classic state layout: these are unit tests of the classic (rows, D)
+    # semantics with direct row surgery; the packed-state layout has its own
+    # suites (test_packed_state, test_packed)
     eng = EmbeddingFeatures(cols, opt or SparseAdam(learning_rate=0.01),
-                            num_shards=num_shards)
+                            num_shards=num_shards, packed_state=False)
     return eng
 
 
@@ -393,9 +396,14 @@ class TestTableGrouping:
             cat = category_column(s, 64)
             cols.append(embedding_column(cat, 8, combiner="mean"))
         cols.append(embedding_column(category_column("d", 32), 4, combiner="mean"))
-        flat = EmbeddingFeatures(list(cols), SparseAdam(learning_rate=0.01))
+        # classic state layout: this class tests grouped-vs-flat table
+        # equivalence with direct row surgery on (rows, D) arrays; the
+        # packed-state layout has its own parity suite (test_packed_state,
+        # test_packed)
+        flat = EmbeddingFeatures(list(cols), SparseAdam(learning_rate=0.01),
+                                 packed_state=False)
         grouped = EmbeddingFeatures(list(cols), SparseAdam(learning_rate=0.01),
-                                    group_tables=True)
+                                    group_tables=True, packed_state=False)
         return flat, grouped
 
     def _batch(self):
@@ -523,9 +531,10 @@ class TestBf16Tables:
             state, eng.flatten_raw_grads(graw, batch))
         assert new[skey_w]["w"].dtype == jnp.bfloat16
         assert new[skey_n]["w"].dtype == jnp.float32
+        w_new, w_old = eng.weights(new), eng.weights(state)
         for skey, touched in ((skey_w, [3, 5]), (skey_n, [7])):
-            d = np.abs(np.asarray(new[skey]["w"].astype(jnp.float32))
-                       - np.asarray(state[skey]["w"].astype(jnp.float32))).sum(1)
+            d = np.abs(np.asarray(w_new[skey].astype(jnp.float32))
+                       - np.asarray(w_old[skey].astype(jnp.float32))).sum(1)
             assert (d[touched] > 0).all() and (d > 0).sum() == len(touched)
 
     def test_dense_path_bf16(self):

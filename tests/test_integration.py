@@ -103,12 +103,14 @@ def test_feature_id_remap_shares_tables():
     }
     labels = {t: np.ones((4, 1), np.float32) for t in bundle.losses}
     state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
-    before = {k: np.asarray(v["w"]) for k, v in state.tables.items()}
+    # (rows, D) view regardless of the storage layout (packed-state tables)
+    before = {k: np.asarray(v) for k, v in eng.weights(state.tables).items()}
     step = make_train_step(bundle, donate=False)
     state, info = step(state, batch, labels, np.ones((4, 1), np.float32),
                        None, jax.random.PRNGKey(1))
+    after = {k: np.asarray(v) for k, v in eng.weights(state.tables).items()}
     skey, off_a, _ = eng.table_map[eng.columns["41119"].categorical_column.key]
-    w_delta = np.abs(np.asarray(state.tables[skey]["w"]) - before[skey]).sum(1)
+    w_delta = np.abs(after[skey] - before[skey]).sum(1)
     changed = set(np.nonzero(w_delta > 0)[0].tolist())
     assert {3 + off_a, 7 + off_a} <= changed       # both columns' ids moved
 

@@ -159,6 +159,12 @@ def test_table_spans_partition_stream():
 # train-step parity: packed == scatter == dense
 # ---------------------------------------------------------------------------
 
+def _cs(bundle, state):
+    """Classic-layout view of the table state (packed-state storages unpack)
+    so parity comparisons are layout-independent."""
+    return jax.device_get(bundle.embedding.classic_state(state.tables))
+
+
 def _run(bundle, sparse_update, batch, labels, weight, dense, steps=3):
     state = create_train_state(bundle, jax.random.PRNGKey(0), batch, dense)
     step = make_train_step(bundle, donate=False, sparse_update=sparse_update)
@@ -182,12 +188,11 @@ def test_packed_step_matches_scatter(name, kwargs):
     s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense)
     s_sc, l_sc = _run(bundle, "scatter", batch, labels, weight, dense)
     np.testing.assert_allclose(l_pk, l_sc, rtol=1e-5)
-    for skey in s_sc.tables:
-        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
-                                   np.asarray(s_sc.tables[skey]["w"]),
+    c_pk, c_sc = _cs(bundle, s_pk), _cs(bundle, s_sc)
+    for skey in c_sc:
+        np.testing.assert_allclose(c_pk[skey]["w"], c_sc[skey]["w"],
                                    atol=1e-5, err_msg=skey)
-        np.testing.assert_array_equal(np.asarray(s_pk.tables[skey]["show"]),
-                                      np.asarray(s_sc.tables[skey]["show"]),
+        np.testing.assert_array_equal(c_pk[skey]["show"], c_sc[skey]["show"],
                                       err_msg=skey)
     for a, b in zip(jax.tree.leaves(s_pk.params), jax.tree.leaves(s_sc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
@@ -199,9 +204,9 @@ def test_packed_step_matches_dense():
     s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense)
     s_de, l_de = _run(bundle, "dense", batch, labels, weight, dense)
     np.testing.assert_allclose(l_pk, l_de, rtol=1e-5)
-    for skey in s_de.tables:
-        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
-                                   np.asarray(s_de.tables[skey]["w"]),
+    c_pk, c_de = _cs(bundle, s_pk), _cs(bundle, s_de)
+    for skey in c_de:
+        np.testing.assert_allclose(c_pk[skey]["w"], c_de[skey]["w"],
                                    atol=1e-5, err_msg=skey)
 
 
@@ -254,12 +259,11 @@ def test_wide_dims_pack_production_ctr():
     s_pk, l_pk = _run(bundle, "packed", batch, labels, weight, dense, steps=2)
     s_sc, l_sc = _run(bundle, "scatter", batch, labels, weight, dense, steps=2)
     np.testing.assert_allclose(l_pk, l_sc, rtol=1e-5)
-    for skey in s_sc.tables:
-        np.testing.assert_allclose(np.asarray(s_pk.tables[skey]["w"]),
-                                   np.asarray(s_sc.tables[skey]["w"]),
+    c_pk, c_sc = _cs(bundle, s_pk), _cs(bundle, s_sc)
+    for skey in c_sc:
+        np.testing.assert_allclose(c_pk[skey]["w"], c_sc[skey]["w"],
                                    atol=1e-5, err_msg=skey)
-        np.testing.assert_array_equal(np.asarray(s_pk.tables[skey]["show"]),
-                                      np.asarray(s_sc.tables[skey]["show"]),
+        np.testing.assert_array_equal(c_pk[skey]["show"], c_sc[skey]["show"],
                                       err_msg=skey)
 
 
@@ -347,14 +351,13 @@ def test_packed_sharded_matches_local(mesh8, model, kwargs):
         np.testing.assert_allclose(float(info["loss"]),
                                    float(l_info["loss"]), rtol=1e-5,
                                    err_msg=su)
-        for skey in l_state.tables:
+        c_st, c_l = _cs(bundle, st), _cs(bundle, l_state)
+        for skey in c_l:
             np.testing.assert_allclose(
-                np.asarray(st.tables[skey]["w"]),
-                np.asarray(l_state.tables[skey]["w"]), atol=1e-5,
+                c_st[skey]["w"], c_l[skey]["w"], atol=1e-5,
                 err_msg=f"{su}:{skey}")
             np.testing.assert_array_equal(
-                np.asarray(st.tables[skey]["show"]),
-                np.asarray(l_state.tables[skey]["show"]),
+                c_st[skey]["show"], c_l[skey]["show"],
                 err_msg=f"{su}:{skey}")
 
 

@@ -1,0 +1,143 @@
+"""Packed optimizer state (w/m/v co-located in the scatter packing).
+
+The packed-state layout must be numerically invisible: the one-pass packed
+Adam equals SparseAdam.update row-for-row, converters roundtrip exactly,
+qualifying rules pick the right layout, and the classic debug paths still
+run against packed-state engines through the adapter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommendsystem_tpu.embedding import packed
+from recommendsystem_tpu.embedding.optimizers import SparseAdam
+
+
+def _random_classic(rng, rows, d, touched_frac=0.3):
+    w = rng.standard_normal((rows, d)).astype(np.float32)
+    m = (rng.standard_normal((rows, d)) * 0.01).astype(np.float32)
+    v = (np.abs(rng.standard_normal((rows, d))) * 1e-4).astype(np.float32)
+    t = rng.integers(0, 50, (rows, 1)).astype(np.float32)
+    show = rng.integers(0, 9, (rows, 1)).astype(np.float32)
+    G = (rng.standard_normal((rows, d)) * 0.1).astype(np.float32)
+    cnt = (rng.random((rows, 1)) < touched_frac).astype(np.float32) * \
+        rng.integers(1, 4, (rows, 1))
+    return ({"w": jnp.asarray(w),
+             "opt": {"m": jnp.asarray(m), "v": jnp.asarray(v),
+                     "t": jnp.asarray(t)},
+             "show": jnp.asarray(show)},
+            jnp.asarray(G), jnp.asarray(cnt))
+
+
+@pytest.mark.parametrize("d", [8, 12, 16, 32, 48, 96])
+def test_pack_unpack_roundtrip(d):
+    ps = packed.scatter_pack(d)
+    rows = ps * 37
+    classic, _, _ = _random_classic(np.random.default_rng(0), rows, d)
+    pk = packed.pack_state_entry(classic, d)
+    assert packed.is_packed_state(pk)
+    assert pk["w"].shape == (rows // ps, 128)
+    back = packed.unpack_state_entry(pk, d)
+    for path_a, path_b in zip(jax.tree_util.tree_leaves(classic),
+                              jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(path_a), np.asarray(path_b))
+
+
+@pytest.mark.parametrize("d", [8, 48, 96])
+def test_packed_adam_matches_classic_update(d):
+    """The one-pass packed Adam == SparseAdam.update to the bit (same f32
+    op order per lane), including t advance, bias correction, show
+    accumulation and untouched-row passthrough."""
+    opt = SparseAdam()
+    ps = packed.scatter_pack(d)
+    rows = ps * 53
+    rng = np.random.default_rng(1)
+    classic, G, cnt = _random_classic(rng, rows, d)
+
+    row_mask = (cnt > 0).astype(jnp.float32)
+    w2, opt2 = jax.jit(opt.update)(classic["w"], G, classic["opt"], row_mask)
+    expect = {"w": w2, "opt": opt2, "show": classic["show"] + cnt}
+
+    pk = packed.pack_state_entry(classic, d)
+    acc = packed._pack_cols(jnp.where(row_mask > 0, G, 0.0) * 1.0, cnt, d)
+    got = jax.jit(lambda s, a: packed.packed_adam_update(opt, s, a, d))(pk, acc)
+    back = packed.unpack_state_entry(got, d)
+
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(expect["w"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(back["opt"]["m"]),
+                               np.asarray(expect["opt"]["m"]), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(back["opt"]["v"]),
+                               np.asarray(expect["opt"]["v"]), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(back["opt"]["t"]),
+                                  np.asarray(expect["opt"]["t"]))
+    np.testing.assert_array_equal(np.asarray(back["show"]),
+                                  np.asarray(expect["show"]))
+
+
+def _engine(bucket, dim, opt=None, **kw):
+    from recommendsystem_tpu.embedding import (EmbeddingFeatures,
+                                               category_column,
+                                               embedding_column)
+    cols = [embedding_column(category_column(f"f{i}", bucket), dim,
+                             combiner="mean", name=f"c{i}") for i in range(3)]
+    return EmbeddingFeatures(cols, opt or SparseAdam(learning_rate=0.01),
+                             group_tables=True, **kw)
+
+
+def test_init_layout_selection():
+    from recommendsystem_tpu.embedding.optimizers import SparseAdaGrad
+    # Adam + f32 + grouped (aligned) -> packed state
+    eng = _engine(1024, 8)
+    state = eng.init(jax.random.PRNGKey(0))
+    assert all(packed.is_packed_state(t) for t in state.values())
+    # AdaGrad -> classic
+    eng = _engine(1024, 8, opt=SparseAdaGrad())
+    state = eng.init(jax.random.PRNGKey(0))
+    assert not any(packed.is_packed_state(t) for t in state.values())
+    # bf16 tables -> classic
+    eng = _engine(1024, 8, table_dtype=jnp.bfloat16)
+    state = eng.init(jax.random.PRNGKey(0))
+    assert not any(packed.is_packed_state(t) for t in state.values())
+    # bf16 moments -> classic (t rides a lane; bf16 cannot count past 256)
+    eng = _engine(1024, 8, opt=SparseAdam(state_dtype=jnp.bfloat16))
+    state = eng.init(jax.random.PRNGKey(0))
+    assert not any(packed.is_packed_state(t) for t in state.values())
+    # opt-out flag
+    eng = _engine(1024, 8, packed_state=False)
+    state = eng.init(jax.random.PRNGKey(0))
+    assert not any(packed.is_packed_state(t) for t in state.values())
+
+
+def test_packed_state_weights_and_evict():
+    """weights() unpacks to (rows, D); evict runs through the adapter and
+    preserves the packed layout."""
+    eng = _engine(1024, 8)
+    state = eng.init(jax.random.PRNGKey(0))
+    w = eng.weights(state)
+    for skey, arr in w.items():
+        rows, d = eng.storage[skey]
+        assert arr.shape == (rows, d)
+    out = eng.evict(state, min_show=1.0)
+    assert all(packed.is_packed_state(t) for t in out.values())
+    # all-fresh (show starts at 0): every weight re-drawn but layout intact
+    w2 = eng.weights(out)
+    for skey in w:
+        assert w[skey].shape == w2[skey].shape
+
+
+def test_unaligned_bucket_stays_classic():
+    """Storages whose rows are not Ps-aligned (tiny ungrouped buckets) keep
+    the classic layout automatically."""
+    from recommendsystem_tpu.embedding import (EmbeddingFeatures,
+                                               category_column,
+                                               embedding_column)
+    cols = [embedding_column(category_column("x", 60), 8, combiner="mean")]
+    eng = EmbeddingFeatures(cols, SparseAdam(), group_tables=False,
+                            packed=False)
+    state = eng.init(jax.random.PRNGKey(0))
+    assert not any(packed.is_packed_state(t) for t in state.values())

@@ -52,22 +52,23 @@ def test_sharded_step_matches_local(mesh8, model, sparse_update):
             sorted(jax.tree_util.tree_leaves_with_path(sh_state.params), key=key)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5, err_msg=str(ka))
-    # sparse tables identical (row-sharded result gathered back)
-    for tkey in local_state.tables:
+    # sparse tables identical (row-sharded result gathered back); compared
+    # through the classic-layout view so packed-state storages normalize
+    c_local = jax.device_get(bundle.embedding.classic_state(local_state.tables))
+    c_sh = jax.device_get(bundle.embedding.classic_state(sh_state.tables))
+    for tkey in c_local:
         np.testing.assert_allclose(
-            np.asarray(sh_state.tables[tkey]["w"]),
-            np.asarray(local_state.tables[tkey]["w"]),
+            c_sh[tkey]["w"], c_local[tkey]["w"],
             rtol=5e-4, atol=1e-6, err_msg=tkey)
         np.testing.assert_allclose(
-            np.asarray(sh_state.tables[tkey]["show"]),
-            np.asarray(local_state.tables[tkey]["show"]), err_msg=tkey)
+            c_sh[tkey]["show"], c_local[tkey]["show"], err_msg=tkey)
         # per-row optimizer state identical too (the routed PS-push applies
         # the same per-row math as the local scatter)
         for (pa, a), (pb, b) in zip(
                 sorted(jax.tree_util.tree_leaves_with_path(
-                    local_state.tables[tkey]["opt"]), key=lambda kv: str(kv[0])),
+                    c_local[tkey]["opt"]), key=lambda kv: str(kv[0])),
                 sorted(jax.tree_util.tree_leaves_with_path(
-                    sh_state.tables[tkey]["opt"]), key=lambda kv: str(kv[0]))):
+                    c_sh[tkey]["opt"]), key=lambda kv: str(kv[0]))):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=5e-4, atol=1e-6,
                                        err_msg=f"{tkey}{pa}")
@@ -83,7 +84,7 @@ def test_sharded_scatter_large_table_touches_only_batch_rows(mesh8):
     bundle = create_model("autoint", bucket_size=rows_total, num_shards=n)
     batch, dense, labels, weight = synthetic_batch(bundle, 4 * n, seed=3)
     state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
-    before = jax.tree.map(np.asarray, state.tables)
+    before = jax.device_get(bundle.embedding.classic_state(state.tables))
 
     s_state, s_batch, s_labels, s_weight = place(mesh8, bundle, state, batch,
                                                  labels, weight)
@@ -102,7 +103,8 @@ def test_sharded_scatter_large_table_touches_only_batch_rows(mesh8):
         ids = np.asarray(batch[key].rows).reshape(-1) + offset
         touched[skey].update(ids.tolist())
 
-    for tkey, tstate in sh_state.tables.items():
+    c_after = jax.device_get(bundle.embedding.classic_state(sh_state.tables))
+    for tkey, tstate in c_after.items():
         w_after = np.asarray(tstate["w"])
         w_before = before[tkey]["w"]
         changed = np.nonzero(np.any(w_after != w_before, axis=1))[0]

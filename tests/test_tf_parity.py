@@ -170,11 +170,13 @@ def test_full_model_training_parity():
 
     state = create_train_state(bundle, jax.random.PRNGKey(0),
                                jb(*batches[0][:2]))
-    # per-slot initial table views (group_tables stacks same-shape tables)
+    # per-slot initial table views (group_tables stacks same-shape tables;
+    # weights() gives the (rows, D) view regardless of the storage layout)
+    w_init = eng.weights(state.tables)
     w0 = {}
     for s in slots:
         skey, off, rows = eng.table_map[s]
-        w0[s] = np.asarray(state.tables[skey]["w"][off:off + rows])
+        w0[s] = np.asarray(w_init[skey][off:off + rows])
     p0 = jax.tree.map(np.asarray, state.params)
 
     step_fn = make_train_step(bundle, donate=False)
