@@ -264,6 +264,18 @@ class EmbeddingFeatures:
         # classic checkpoint into a packed engine (or vice versa) needs
         # ``packed.pack_state_entry``/``unpack_state_entry`` migration.
         self.packed_state = packed_state
+        # O(touched-rows) optimizer crossover: when the engine's TOTAL
+        # packed-state rows exceed this, the local packed step switches
+        # from the lazy O(table) pass to sort+segment-sum+row-update
+        # (``packed.row_update_packed_storage``).  DEFAULT OFF on this
+        # platform: the packed-state layout already collapsed the O(table)
+        # pass (96M rows: 500 -> 198 ms/step — the old cost was the 128x
+        # tiling blowup of the narrow (rows, 1) arrays, not the streaming),
+        # while per-row sort/gather/scatter costs ~80-100 ns/entry, so the
+        # measured A/B (scripts/probe21.py, PROFILE_r05.md) puts the
+        # crossover beyond ~300M rows at production batch sizes.  Set a
+        # row threshold to enable for pod-scale tables past that.
+        self.row_update_min_rows = 1 << 62
         # cap on one storage group's byte size: jnp.take from a <~40 MB
         # target runs ~3.3x faster per id than from a >128 MB one (HBM
         # locality, measured scripts/probe6.py), so same-shape tables split

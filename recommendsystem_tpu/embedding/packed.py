@@ -640,13 +640,27 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
     slicing a multi-column payload for the per-table scatters materialized a
     0.5 ms copy per storage (round-4 op trace)."""
     new_state = dict(state)
+    # O(touched-rows) selection: when the engine's TOTAL packed-state rows
+    # exceed the crossover (the lazy pass streams w+m+v of EVERY storage,
+    # so the aggregate is what costs), huge storages skip the dense
+    # accumulator + lazy pass entirely (row_update_packed_storage);
+    # below the crossover the lazy path wins (A/B: PROFILE_r05.md)
+    total_pk_rows = sum(eng.storage[s][0] for s in plans
+                        if is_packed_state(state[s]))
+    rows_mode = total_pk_rows >= getattr(eng, "row_update_min_rows", 1 << 62)
     for skey, segs in plans.items():
         d = eng.storage[skey][1]
         ps = scatter_pack(d)
         ids, mask = ctx[skey]["ids"], ctx[skey]["mask"]
+        tstate = state[skey]
+        use_rows = rows_mode and is_packed_state(tstate)
         accs: Dict[str, Any] = {}
+        row_parts: List[Tuple[Any, Any]] = []      # (storage phys, payload)
 
         def scatter_col(tkey, s0, n, pay):
+            if use_rows:
+                row_parts.append((ids[s0:s0 + n] // ps, pay))
+                return
             _, off, rows_t = eng.table_map[tkey]
             np_t = -(-rows_t // ps)
             phys = (ids[s0:s0 + n] - off) // ps        # off % ps == 0
@@ -674,7 +688,14 @@ def apply_gradients_packed(eng, state, g_acts, plans, ctx, batch):
                 scatter_col(eng.columns[k].categorical_column.key,
                             seg.start, seg.size, pay)
 
-        tstate = state[skey]
+        if use_rows:
+            phys_all = (row_parts[0][0] if len(row_parts) == 1
+                        else jnp.concatenate([p for p, _ in row_parts]))
+            pay_all = (row_parts[0][1] if len(row_parts) == 1
+                       else jnp.concatenate([p for _, p in row_parts]))
+            new_state[skey] = row_update_packed_storage(
+                eng.sparse_opt, tstate, phys_all, pay_all, d)
+            continue
         if is_packed_state(tstate):
             # the accumulator IS the state layout: concat member accs into
             # one (rows/Ps, 128) [grad | count] array and run the one-pass
@@ -1082,3 +1103,55 @@ def packed_adam_update(opt, tstate, acc, d: int):
     w_new = (jnp.where(live, wp - step, wp) * IS_W   # update value lanes
              + wp * IS_T + cnt_l)                    # show += count
     return {"w": w_new, "opt": {"m_p": m_new + t_new, "v_p": v_new}}
+
+
+# ---------------------------------------------------------------------------
+# O(touched-rows) optimizer variant for huge tables
+# ---------------------------------------------------------------------------
+#
+# The lazy dense optimizer pass is O(table): at production table sizes
+# (24 x 4M x 8 = 96M rows, ~10 GB of w/m/v per step) it dominates the step
+# (~500 ms at batch 32768, SWEEP_r04_predict.log) even though only O(batch)
+# rows actually move — tensornet's PS push updates only pushed rows
+# (``tn.layers.EmbeddingFeatures``, ``rank/ctr/base_model.py:216``).  This
+# variant restores that asymptotic: sort the payload rows by physical id,
+# segment-sum duplicates, then gather/update/scatter-back ONLY the unique
+# touched physical rows.  Costs O(E log E + U) per-row ops instead of
+# O(table) streaming; the measured crossover on this platform is recorded
+# in PROFILE_r05.md and drives ``row_update_min_rows`` below.
+
+def row_update_packed_storage(opt, tstate, phys, pay, d: int):
+    """One storage's packed-state update touching only unique phys rows.
+
+    ``phys``: (E,) storage-level physical row ids (id // Ps, offsets are
+    Ps-aligned); ``pay``: (E, 128) [grad | count] payload rows (masked
+    entries carry zeros).  Equals the lazy ``packed_adam_update`` for
+    touched rows and leaves untouched rows bit-identical (tested)."""
+    e = phys.shape[0]
+    np_rows = tstate["w"].shape[0]
+    order = jnp.argsort(phys)
+    sp = jnp.take(phys, order)
+    spay = jnp.take(pay, order, axis=0)
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+    seg_ids = jnp.cumsum(new_seg.astype(jnp.int32)) - 1              # (E,)
+    acc = jax.ops.segment_sum(spay, seg_ids, num_segments=e)         # (E,128)
+    uniq = jax.ops.segment_max(sp, seg_ids, num_segments=e)          # (E,)
+    valid = jnp.arange(e) < (seg_ids[-1] + 1)
+    # invalid tail segments: out-of-range target -> gathers clip (values
+    # unused: count 0 -> passthrough), writes drop
+    uniq = jnp.where(valid, uniq, np_rows)
+    rows = {
+        "w": tstate["w"].at[uniq].get(mode="clip"),
+        "opt": {"m_p": tstate["opt"]["m_p"].at[uniq].get(mode="clip"),
+                "v_p": tstate["opt"]["v_p"].at[uniq].get(mode="clip")},
+    }
+    upd = packed_adam_update(opt, rows, acc, d)
+    return {
+        "w": tstate["w"].at[uniq].set(upd["w"], mode="drop"),
+        "opt": {
+            "m_p": tstate["opt"]["m_p"].at[uniq].set(upd["opt"]["m_p"],
+                                                     mode="drop"),
+            "v_p": tstate["opt"]["v_p"].at[uniq].set(upd["opt"]["v_p"],
+                                                     mode="drop"),
+        },
+    }

@@ -54,6 +54,9 @@ class CTRModule(nn.Module):
     num_experts: int = 3
     num_tasks: int = 2
     stacked_experts: bool = False
+    # reference AutoInt dropout 0.2 (``model_init.py:54-60``); 0.0 gives the
+    # deterministic graph the TF training-parity twin tracks step-for-step
+    attention_dropout_rate: float = 0.2
 
     @nn.compact
     def __call__(self, embs: Dict[str, jnp.ndarray], training: bool = False):
@@ -67,7 +70,9 @@ class CTRModule(nn.Module):
                   for i, e in enumerate(reweight)]
         autoint_inputs = jnp.concatenate(emb_3d, axis=1)
         autoint_out = rnn.InteractingLayer(
-            layer_num=1, unit_num=8, head_num=2, use_dropout=True, dropout_rate=0.2,
+            layer_num=1, unit_num=8, head_num=2,
+            use_dropout=self.attention_dropout_rate > 0,
+            dropout_rate=self.attention_dropout_rate,
             use_res=True, name="interacting")(autoint_inputs, training=training)
         autoint_out = autoint_out.reshape(autoint_out.shape[0], -1)
 
@@ -158,6 +163,7 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
                compute_dtype=None,
                opt_state_dtype=None,
                stacked_experts: bool = False,
+               attention_dropout_rate: float = 0.2,
                sparse_lr: float = 5e-5,
                dense_lr: float = 5e-5) -> ModelBundle:
     if cfg is None:
@@ -183,7 +189,8 @@ def create_ctr(cfg: Optional[ModelConfig] = None,
     return ModelBundle(
         name="ctr",
         module=CTRModule(cfg=cfg, gate_slots=tuple(gate_slots),
-                         stacked_experts=stacked_experts),
+                         stacked_experts=stacked_experts,
+                         attention_dropout_rate=attention_dropout_rate),
         embedding=emb,
         losses={T_CLICK: L.cross_entropy_sum_mean, T_EFFECT: L.cross_entropy_sum_mean},
         metrics={T_CLICK: list(metrics), T_EFFECT: list(metrics)},

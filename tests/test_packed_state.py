@@ -141,3 +141,65 @@ def test_unaligned_bucket_stays_classic():
                             packed=False)
     state = eng.init(jax.random.PRNGKey(0))
     assert not any(packed.is_packed_state(t) for t in state.values())
+
+
+def test_row_update_variant_matches_lazy():
+    """The O(touched-rows) update (sort + segment-sum + gather/update/
+    scatter-back) equals the lazy dense pass: same losses, same tables,
+    same opt state, untouched rows bit-identical."""
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.train import create_train_state
+    from recommendsystem_tpu.train.step import make_train_step
+
+    def run(threshold):
+        bundle = create_model("autoint", bucket_size=300)
+        bundle.embedding.row_update_min_rows = threshold
+        batch, dense, labels, weight = synthetic_batch(bundle, 16, seed=0)
+        state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+        step = make_train_step(bundle, donate=False, sparse_update="packed")
+        losses = []
+        for i in range(3):
+            state, info = step(state, batch, labels, weight, dense,
+                               jax.random.PRNGKey(1))
+            losses.append(float(info["loss"]))
+        return bundle, state, losses
+
+    b_rows, s_rows, l_rows = run(0)            # force row-update everywhere
+    b_lazy, s_lazy, l_lazy = run(1 << 62)      # force lazy everywhere
+    np.testing.assert_allclose(l_rows, l_lazy, rtol=1e-6)
+    c_rows = jax.device_get(b_rows.embedding.classic_state(s_rows.tables))
+    c_lazy = jax.device_get(b_lazy.embedding.classic_state(s_lazy.tables))
+    for skey in c_lazy:
+        for leaf_r, leaf_l in zip(jax.tree_util.tree_leaves(c_rows[skey]),
+                                  jax.tree_util.tree_leaves(c_lazy[skey])):
+            np.testing.assert_allclose(leaf_r, leaf_l, rtol=1e-6, atol=1e-7)
+
+
+def test_row_update_untouched_rows_bit_identical():
+    """Row-update mode must leave every untouched physical row's bytes
+    EXACTLY unchanged (no lazy passthrough rounding)."""
+    from recommendsystem_tpu.data import synthetic_batch
+    from recommendsystem_tpu.models import create_model
+    from recommendsystem_tpu.train import create_train_state
+    from recommendsystem_tpu.train.step import make_train_step
+
+    bundle = create_model("autoint", bucket_size=1024)
+    bundle.embedding.row_update_min_rows = 0
+    batch, dense, labels, weight = synthetic_batch(bundle, 8, seed=1)
+    state = create_train_state(bundle, jax.random.PRNGKey(0), batch)
+    before = jax.device_get(bundle.embedding.raw_weights(state.tables))
+    step = make_train_step(bundle, donate=False, sparse_update="packed")
+    state, _ = step(state, batch, labels, weight, dense, jax.random.PRNGKey(2))
+    eng = bundle.embedding
+    touched = {skey: set() for skey in state.tables}
+    for key, col in eng.columns.items():
+        skey, off, _ = eng.table_map[col.categorical_column.key]
+        ps = packed.scatter_pack(eng.storage[skey][1])
+        ids = (np.asarray(batch[key].rows).reshape(-1) + off) // ps
+        touched[skey].update(ids.tolist())
+    after = jax.device_get(eng.raw_weights(state.tables))
+    for skey in before:
+        changed = np.nonzero(np.any(after[skey] != before[skey], axis=1))[0]
+        assert set(changed.tolist()) <= touched[skey], skey
+        assert len(changed) > 0, skey
