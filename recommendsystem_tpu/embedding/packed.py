@@ -1091,9 +1091,20 @@ def packed_adam_update(opt, tstate, acc, d: int):
     wp, mp, vp = tstate["w"], tstate["opt"]["m_p"], tstate["opt"]["v_p"]
     b1, b2 = opt.beta1, opt.beta2
     cnt_l = acc * IS_T                              # counts at spare lanes
-    live = _dot_hi(cnt_l, BC) > 0                   # count > 0, per group
-    t_new = mp * IS_T + (cnt_l > 0).astype(jnp.float32)
-    t128 = jnp.maximum(_dot_hi(t_new, BC), 1.0)     # per-lane t, >= 1
+    if scatter_pack(d) == 1:
+        # wide dims (d >= 64): one logical row per 128-lane row, so the
+        # spare lane is just column d and broadcasts implicitly — no
+        # (128, 128) matmul.  The BC matmul measured 1.55 vs 1.34
+        # ms/storage at ctr212 shapes (scripts/probe22.py, parity 0.0).
+        cnt_col = acc[:, d:d + 1]
+        live = cnt_col > 0
+        t_new = (mp[:, d:d + 1]
+                 + live.astype(jnp.float32)) * IS_T  # t at lane d
+        t128 = jnp.maximum(mp[:, d:d + 1] + live.astype(jnp.float32), 1.0)
+    else:
+        live = _dot_hi(cnt_l, BC) > 0               # count > 0, per group
+        t_new = mp * IS_T + (cnt_l > 0).astype(jnp.float32)
+        t128 = jnp.maximum(_dot_hi(t_new, BC), 1.0)  # per-lane t, >= 1
     g = acc * IS_W
     m_new = jnp.where(live, b1 * mp + (1 - b1) * g, mp) * IS_W
     v_new = jnp.where(live, b2 * vp + (1 - b2) * jnp.square(g), vp) * IS_W

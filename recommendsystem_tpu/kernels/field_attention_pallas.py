@@ -243,10 +243,15 @@ field_attention.defvjp(_field_attention_fwd, _field_attention_bwd)
 
 
 def field_attention_reference(q, k, v, rate: float = 0.0, mask=None):
-    """Pure-jnp oracle (dropout via an explicit multiplicative mask)."""
+    """Pure-jnp oracle (dropout via an explicit multiplicative mask).
+    HIGHEST-precision contractions: the TPU default runs f32 einsums in
+    bf16 passes (~1e-2 error) — the KERNEL is exact f32 (all-VPU), so the
+    oracle must be too (round-5 on-chip gate caught exactly this)."""
     h, dh, f, b = q.shape
-    s = jnp.einsum("hdfb,hdgb->hfgb", q, k) / (dh ** 0.5)
+    s = jnp.einsum("hdfb,hdgb->hfgb", q, k,
+                   precision=jax.lax.Precision.HIGHEST) / (dh ** 0.5)
     p = jax.nn.softmax(s, axis=2)
     if rate > 0.0 and mask is not None:
         p = p * mask
-    return jnp.einsum("hfgb,hdgb->hdfb", p, v)
+    return jnp.einsum("hfgb,hdgb->hdfb", p, v,
+                      precision=jax.lax.Precision.HIGHEST)
