@@ -308,6 +308,39 @@ def bench_all():
         # (master weights / loss / optimizer arithmetic stay fp32)
         extra = {"table_dtype": jnp.bfloat16, "compute_dtype": jnp.bfloat16,
                  "opt_state_dtype": jnp.bfloat16}
+    if "--ab" in sys.argv:
+        # honest PAIRED fp32-vs-bf16: both variants in the SAME process,
+        # back to back per model (ambient drift makes cross-process ratios
+        # uninterpretable — CLAUDE.md).  The bf16 stack is tables + compute
+        # bf16 with F32 optimizer moments: bf16 m/v would force the classic
+        # state layout (the per-row t counter rides a moment lane and
+        # cannot survive bf16 past 256), losing the packed-state one-pass
+        # Adam — measured a net 0.70x on multi_head.  bf16 tables pack
+        # bf16 (half gather bytes) with t/show on the f32 moment spares.
+        bf16 = {"table_dtype": jnp.bfloat16, "compute_dtype": jnp.bfloat16}
+        st_bf16 = bf16
+        ref_json = "/root/reference/rank/ctr/model_parameter.json"
+        if os.path.exists(ref_json):
+            from recommendsystem_tpu.models.ctr import production_ctr
+            a = bench_model("ctr_production212", 8192, steps=10,
+                            ids_per_feature={},
+                            bundle=production_ctr(ref_json, bucket_size=32768))
+            b = bench_model("ctr_production212/bf16", 8192, steps=10,
+                            ids_per_feature={},
+                            bundle=production_ctr(ref_json, bucket_size=32768,
+                                                  **bf16))
+            log(f"PAIRED ctr_production212 bf16/fp32 = {b / a:.2f}x")
+        for name, bs, kw, skw in [
+                ("ctr", 32768, {"bucket_size": 265000}, bf16),
+                ("multi_head", 32768, {"bucket_size": 265000}, bf16),
+                ("finish", 32768, {"bucket_size": 25600}, bf16),
+                ("rough_rank", 32768, {"bucket_size": 25600}, bf16),
+                ("staytime", 16384, {}, st_bf16)]:
+            steps = 10 if name == "staytime" else 20
+            a = bench_model(name, bs, steps=steps, **kw)
+            b = bench_model(name, bs, steps=steps, **{**kw, **skw})
+            log(f"PAIRED {name} bf16/fp32 = {b / a:.2f}x")
+        return
     st_extra = {k: v for k, v in extra.items() if k != "opt_state_dtype"}
     # the REAL production config: 212 features / 176 slots / 96-wide rows,
     # realistic mostly-single-valued VarLen ids (VERDICT r1 missing #2)

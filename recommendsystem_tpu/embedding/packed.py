@@ -159,9 +159,10 @@ def _fold_consts(d: int, pack: str):
     out of either physical packing.  ``pack="gather"`` reads the pure-
     reshape (Pg rows of D lanes) packing; ``pack="scatter"`` reads the
     [value(D) | spare] (Ps rows of D+1 lanes) packing — the layout the
-    packed-STATE tables live in, where the spare lane carries 'show'.  The
-    scatter fold matrix maps no output column to the spare lane, so spare
-    contents never leak into activations."""
+    packed-STATE tables live in (w's spare lane is unused; 'show'/t ride
+    the f32 moment arrays' spares).  The scatter fold matrix maps no
+    output column to the spare lane, so spare contents never leak into
+    activations."""
     fold, sfold, g_grp, s_grp, _ = _lane_maps(d)
     if pack == "gather":
         return gather_pack(d), g_grp, fold
@@ -988,7 +989,7 @@ def state_packable(eng, skey) -> bool:
     return (getattr(eng, "packed_state", True)
             and isinstance(eng.sparse_opt, SparseAdam)
             and eng.sparse_opt.state_dtype == jnp.float32
-            and eng.storage_dtype(d) == jnp.float32
+            and eng.storage_dtype(d) in (jnp.float32, jnp.bfloat16)
             and packable(d)
             and rows % ps == 0
             and all(off % ps == 0
@@ -996,8 +997,8 @@ def state_packable(eng, skey) -> bool:
 
 
 def is_packed_state(tstate) -> bool:
-    """Schema sniff: packed-state entries have no 'show' key (it rides the
-    w spare lane) and name their moments m_p/v_p."""
+    """Schema sniff: packed-state entries have no 'show' key (it rides
+    v's spare lane) and name their moments m_p/v_p."""
     return "show" not in tstate
 
 
@@ -1039,22 +1040,26 @@ def _unpack_cols(p, d: int):
 
 def pack_state_entry(tstate, d: int):
     """Classic {"w", "opt": {m, v, t}, "show"} -> packed {"w", "opt":
-    {"m_p", "v_p"}} (f32)."""
+    {"m_p", "v_p"}}.  w keeps its storage dtype (bf16 tables pack bf16 —
+    half the gather bytes — which is why the per-row count spares live on
+    the f32 moment arrays: t on m's spare, show on v's; counts cannot
+    survive bf16 past 256)."""
     return {
-        "w": _pack_cols(tstate["w"].astype(jnp.float32), tstate["show"], d),
+        "w": _pack_cols(tstate["w"], None, d),
         "opt": {
             "m_p": _pack_cols(tstate["opt"]["m"].astype(jnp.float32),
                               tstate["opt"]["t"], d),
-            "v_p": _pack_cols(tstate["opt"]["v"].astype(jnp.float32), None, d),
+            "v_p": _pack_cols(tstate["opt"]["v"].astype(jnp.float32),
+                              tstate["show"], d),
         },
     }
 
 
 def unpack_state_entry(tstate, d: int):
     """Inverse of ``pack_state_entry``."""
-    w, show = _unpack_cols(tstate["w"], d)
+    w, _ = _unpack_cols(tstate["w"], d)
     m, t = _unpack_cols(tstate["opt"]["m_p"], d)
-    v, _ = _unpack_cols(tstate["opt"]["v_p"], d)
+    v, show = _unpack_cols(tstate["opt"]["v_p"], d)
     return {"w": w, "opt": {"m": m, "v": v, "t": t}, "show": show}
 
 
@@ -1068,7 +1073,8 @@ def packed_state_init(eng, rng, skey):
     """Same weight draw as the classic init for the same rng (cross-layout
     reproducibility: an engine with packed_state on/off starts identical)."""
     rows, d = eng.storage[skey]
-    w = eng.sparse_opt.table_init(rng, (rows, d), dtype=jnp.float32)
+    w = eng.sparse_opt.table_init(rng, (rows, d),
+                                  dtype=eng.storage_dtype(d))
     zeros = jnp.zeros((rows, d), jnp.float32)
     return {
         "w": _pack_cols(w, None, d),
@@ -1081,14 +1087,17 @@ def packed_adam_update(opt, tstate, acc, d: int):
     """The probe12-validated one-pass lazy Adam in the packed layout.
 
     ``acc``: (rows/Ps, 128) [grad | count] accumulator from the backward
-    scatter.  Updates w/m/v on value lanes and t (m spare) / show (w spare)
+    scatter.  Updates w/m/v on value lanes and t (m spare) / show (v spare)
     on spare lanes; untouched rows (count 0) pass through unchanged —
     identical per-row semantics to ``SparseAdam.update`` (parity-locked in
-    tests).  All arithmetic f32; the spare-lane broadcast is one exact
-    (128, 128) 0/1 matmul at HIGHEST precision."""
+    tests).  Arithmetic f32 (bf16 tables round-trip through bf16 on write,
+    the classic bf16 contract); the spare-lane broadcast is one exact
+    (128, 128) 0/1 matmul at HIGHEST precision (or a column slice at
+    Ps = 1)."""
     is_w, is_t, bc = _state_lane_consts(d)
     IS_W, IS_T, BC = (jnp.asarray(x) for x in (is_w, is_t, bc))
     wp, mp, vp = tstate["w"], tstate["opt"]["m_p"], tstate["opt"]["v_p"]
+    wf = wp.astype(jnp.float32)
     b1, b2 = opt.beta1, opt.beta2
     cnt_l = acc * IS_T                              # counts at spare lanes
     if scatter_pack(d) == 1:
@@ -1111,9 +1120,10 @@ def packed_adam_update(opt, tstate, acc, d: int):
     m_hat = m_new / (1 - b1 ** t128)
     v_hat = v_new / (1 - b2 ** t128)
     step = opt.learning_rate * m_hat / (jnp.sqrt(v_hat) + opt.epsilon)
-    w_new = (jnp.where(live, wp - step, wp) * IS_W   # update value lanes
-             + wp * IS_T + cnt_l)                    # show += count
-    return {"w": w_new, "opt": {"m_p": m_new + t_new, "v_p": v_new}}
+    w_new = (jnp.where(live, wf - step, wf) * IS_W   # update value lanes
+             ).astype(wp.dtype)
+    v_out = v_new + vp * IS_T + cnt_l                # show += count
+    return {"w": w_new, "opt": {"m_p": m_new + t_new, "v_p": v_out}}
 
 
 # ---------------------------------------------------------------------------

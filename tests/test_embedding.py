@@ -480,8 +480,10 @@ class TestBf16Tables:
     def test_lookup_and_training_in_bf16_storage(self):
         cat = category_column("f1", 64)
         cols = [embedding_column(cat, 8, combiner="mean")]
+        # classic layout: this unit test inspects classic state fields
+        # (packed-state bf16 has its own suites)
         eng = EmbeddingFeatures(cols, SparseAdam(learning_rate=0.05),
-                                table_dtype=jnp.bfloat16)
+                                table_dtype=jnp.bfloat16, packed_state=False)
         state = eng.init(jax.random.PRNGKey(0))
         assert state["f1"]["w"].dtype == jnp.bfloat16
         assert state["f1"]["opt"]["m"].dtype == jnp.float32  # fp32 opt state

@@ -99,10 +99,12 @@ def test_init_layout_selection():
     eng = _engine(1024, 8, opt=SparseAdaGrad())
     state = eng.init(jax.random.PRNGKey(0))
     assert not any(packed.is_packed_state(t) for t in state.values())
-    # bf16 tables -> classic
+    # bf16 tables -> packed too (w packs bf16; t/show live on the f32
+    # moment arrays' spare lanes)
     eng = _engine(1024, 8, table_dtype=jnp.bfloat16)
     state = eng.init(jax.random.PRNGKey(0))
-    assert not any(packed.is_packed_state(t) for t in state.values())
+    assert all(packed.is_packed_state(t) for t in state.values())
+    assert all(t["w"].dtype == jnp.bfloat16 for t in state.values())
     # bf16 moments -> classic (t rides a lane; bf16 cannot count past 256)
     eng = _engine(1024, 8, opt=SparseAdam(state_dtype=jnp.bfloat16))
     state = eng.init(jax.random.PRNGKey(0))
