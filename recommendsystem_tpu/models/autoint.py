@@ -90,6 +90,15 @@ def create_autoint(cfg: Optional[ModelConfig] = None,
                                        **({} if opt_state_dtype is None
                                           else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
+                            # ~10 MB storages let XLA prefetch EVERY gather
+                            # target into scratch (S(1)) — the round-5 trace
+                            # showed prefetched storages gathering at ~1.8
+                            # ns/id vs ~12 for HBM-direct; measured sweep
+                            # (scripts/probe25.py): 40 MB 134.7 ms/step,
+                            # 10 MB 110.9 at headline shapes.  (Model-
+                            # dependent: staytime measured best at 40 MB —
+                            # storage count outweighs prefetch there.)
+                            max_group_bytes=10 << 20,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(

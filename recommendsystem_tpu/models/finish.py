@@ -94,6 +94,10 @@ def create_finish(slots: Optional[Sequence[str]] = None,
                                        **({} if opt_state_dtype is None
                                           else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
+                            # measured-best storage size: small
+                            # prefetchable storages gather ~6x
+                            # faster (probe25: 92.3 -> 82.2 ms/step at batch 32768)
+                            max_group_bytes=4 << 20,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(

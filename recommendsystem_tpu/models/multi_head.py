@@ -110,6 +110,10 @@ def create_multi_head(slots: Optional[Sequence[str]] = None,
                                        **({} if opt_state_dtype is None
                                           else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
+                            # measured-best storage size: small
+                            # prefetchable storages gather ~6x
+                            # faster (probe25: 102.0 -> 94.6 ms/step at batch 32768)
+                            max_group_bytes=10 << 20,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(

@@ -139,6 +139,10 @@ def create_rough_rank(user_slots: Optional[Sequence[str]] = None,
                                        **({} if opt_state_dtype is None
                                           else {"state_dtype": opt_state_dtype})),
                             num_shards=num_shards, group_tables=True,
+                            # measured-best storage size: small
+                            # prefetchable storages gather ~6x
+                            # faster (probe25: 124.5 -> 107.6 ms/step at batch 32768)
+                            max_group_bytes=4 << 20,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
