@@ -193,6 +193,13 @@ def create_staytime(cfg: Optional[StaytimeConfig] = None,
                                                 initial_g2sum=0.1,
                                                 initial_scale=0.1),
                             num_shards=num_shards, group_tables=True,
+                            # measured-best storage size (probe25d sweep at
+                            # batch 16384, realistic VarLen): table pairs
+                            # (~21 MB) are prefetchable AND keep the
+                            # storage count moderate — 1 table/storage
+                            # 193.4, 2/st 149.3, 3/st 165.3, 5/st 171.1
+                            # ms/step
+                            max_group_bytes=30 << 20,
                             **({} if table_dtype is None else {"table_dtype": table_dtype}))
 
     return ModelBundle(
