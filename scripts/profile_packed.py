@@ -145,19 +145,27 @@ def main():
         return sum(t["w"][0, 0] for t in new.values())
     timeit("apply_gradients_packed (full)", f_update, state.tables, g_acts, ctx)
 
-    # 8. dense optimizer pass alone (zero G)
+    # 8. dense optimizer pass alone (zero acc/G; handles both the round-5
+    # packed-state layout and classic storages)
     @jax.jit
     def f_opt(tables):
         tot = jnp.float32(0)
         for skey, tstate in tables.items():
-            rows, d = tstate["w"].shape
-            G = jnp.zeros((rows, d), jnp.float32)
-            cnt = jnp.zeros((rows, 1), jnp.float32)
-            w, opt = eng.sparse_opt.update(tstate["w"].astype(jnp.float32), G,
-                                           tstate["opt"], (cnt > 0).astype(jnp.float32))
-            tot += w[0, 0]
+            if pk.is_packed_state(tstate):
+                d = eng.storage[skey][1]
+                acc = jnp.zeros_like(tstate["w"], dtype=jnp.float32)
+                new = pk.packed_adam_update(eng.sparse_opt, tstate, acc, d)
+                tot += new["w"][0, 0].astype(jnp.float32)
+            else:
+                rows, d = tstate["w"].shape
+                G = jnp.zeros((rows, d), jnp.float32)
+                cnt = jnp.zeros((rows, 1), jnp.float32)
+                w, opt = eng.sparse_opt.update(
+                    tstate["w"].astype(jnp.float32), G, tstate["opt"],
+                    (cnt > 0).astype(jnp.float32))
+                tot += w[0, 0]
         return tot
-    timeit("lazy dense optimizer pass (all tables)", f_opt, state.tables)
+    timeit("lazy optimizer pass (all tables)", f_opt, state.tables)
 
     # 9. payload scatter-add alone, one storage, real shapes
     skey0 = next(iter(plans))
