@@ -7,9 +7,9 @@ fold_mean: grid (X/CX, L); scratch (CX,128) accumulates sum over l;
 unfold:    same grid; each (i,l) step writes gX@FOLD^T * gradmask + cntmask.
 """
 # NOTE: historical measurement record of a SUPERSEDED packed-path design
-# (ohm-bitmap / l-major fold helpers deleted from embedding/packed.py at
-# HEAD).  Kept as documentation of the measurements that drove the from-ids
-# b-major redesign; this script no longer runs.
+# (the ohm-bitmap helpers it measured were deleted from embedding/packed.py;
+# this probe is fully SELF-CONTAINED — it defines its own kernels — so it
+# still runs at HEAD and reproduces the era's numbers).
 import os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
