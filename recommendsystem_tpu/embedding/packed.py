@@ -1018,6 +1018,19 @@ def _state_lane_consts(d: int):
     return is_w, is_t, bc
 
 
+@functools.lru_cache(maxsize=None)
+def _group_masks(d: int):
+    """Per-group (128,) 0/1 lane masks: mask[g] is 1 on the live lanes of
+    lane group g (used to broadcast a group's spare-lane scalar to its
+    lanes with Ps column multiply-adds instead of a (128, 128) matmul)."""
+    import numpy as np
+    ps = scatter_pack(d)
+    ki = np.arange(_LANES)
+    grp = ki // (d + 1)
+    live = ki < ps * (d + 1)
+    return tuple(((grp == g) & live).astype(np.float32) for g in range(ps))
+
+
 def _pack_cols(a, scalar, d: int):
     """(rows, D) [+ (rows, 1) scalar] -> (rows/Ps, 128) lane groups."""
     rows = a.shape[0]
@@ -1100,16 +1113,42 @@ def packed_adam_update(opt, tstate, acc, d: int):
     wf = wp.astype(jnp.float32)
     b1, b2 = opt.beta1, opt.beta2
     cnt_l = acc * IS_T                              # counts at spare lanes
-    if scatter_pack(d) == 1:
+    ps = scatter_pack(d)
+    if ps == 1:
         # wide dims (d >= 64): one logical row per 128-lane row, so the
         # spare lane is just column d and broadcasts implicitly — no
-        # (128, 128) matmul.  The BC matmul measured 1.55 vs 1.34
-        # ms/storage at ctr212 shapes (scripts/probe22.py, parity 0.0).
+        # spread at all.  (scripts/probe22.py, parity 0.0.)
         cnt_col = acc[:, d:d + 1]
         live = cnt_col > 0
         t_new = (mp[:, d:d + 1]
                  + live.astype(jnp.float32)) * IS_T  # t at lane d
         t128 = jnp.maximum(mp[:, d:d + 1] + live.astype(jnp.float32), 1.0)
+    elif ps <= 4:
+        # few-group dims (25 <= d <= 63): spare-lane -> group-lanes
+        # broadcast as Ps fused column multiply-adds instead of a
+        # (128, 128) HIGHEST matmul — the matmul does 128 MACs/lane where
+        # Ps suffice.  At d=48 (Ps=2, 3.2M phys rows) the matmuls were
+        # 29 ms of the ctr step; the column form took the step 154.0 ->
+        # 141.9 ms.  At LARGE Ps the unrolled columns lose to the matmul
+        # (d=8/Ps=14 measured +20 ms on multi_head), hence the gate.
+        masks = [jnp.asarray(m) for m in _group_masks(d)]
+
+        def spread(cols):
+            out = cols[0] * masks[0]
+            for gi in range(1, ps):
+                out = out + cols[gi] * masks[gi]
+            return out
+
+        def spares(p128):
+            return [p128[:, gi * (d + 1) + d: gi * (d + 1) + d + 1]
+                    for gi in range(ps)]
+
+        cnt_cols = spares(acc)
+        live = spread(cnt_cols) > 0                  # count > 0, per group
+        t_new = mp * IS_T + (cnt_l > 0).astype(jnp.float32)
+        t128 = jnp.maximum(spread(
+            [t + (c > 0).astype(jnp.float32)
+             for t, c in zip(spares(mp), cnt_cols)]), 1.0)
     else:
         live = _dot_hi(cnt_l, BC) > 0               # count > 0, per group
         t_new = mp * IS_T + (cnt_l > 0).astype(jnp.float32)
